@@ -1,0 +1,146 @@
+"""Scan-based LSTM / GRU cells with PyTorch weight semantics.
+
+TPU-first design: the input projection for *all* timesteps is hoisted out
+of the recurrence into one large MXU GEMM, so the ``lax.scan`` body carries
+only the [B,H] x [H,4H] hidden matmul.  ``lstm_stack`` additionally runs N
+independent same-shape LSTMs in a single scan (leading "stack" axis),
+which is how the complex LSTM's four real applications
+(reference: tools_for_model.py:141-177) collapse into one recurrence.
+
+Weight layout matches torch (w_ih [4H, In], w_hh [4H, H], gate order
+i,f,g,o for LSTM; r,z,n for GRU) so parity tests can load torch weights
+verbatim.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class LstmParams(NamedTuple):
+    w_ih: jnp.ndarray  # [4H, In]
+    w_hh: jnp.ndarray  # [4H, H]
+    b_ih: jnp.ndarray  # [4H]
+    b_hh: jnp.ndarray  # [4H]
+
+
+def init_lstm_params(key, input_size: int, hidden_size: int) -> LstmParams:
+    """torch nn.LSTM default init: U(-1/sqrt(H), 1/sqrt(H)) on every tensor."""
+    k = 1.0 / jnp.sqrt(hidden_size)
+    ks = jax.random.split(key, 4)
+    u = lambda kk, shape: jax.random.uniform(kk, shape, jnp.float32, -k, k)
+    return LstmParams(
+        w_ih=u(ks[0], (4 * hidden_size, input_size)),
+        w_hh=u(ks[1], (4 * hidden_size, hidden_size)),
+        b_ih=u(ks[2], (4 * hidden_size,)),
+        b_hh=u(ks[3], (4 * hidden_size,)),
+    )
+
+
+def init_gru_params(key, input_size: int, hidden_size: int) -> LstmParams:
+    """torch nn.GRU default init (3H gate rows)."""
+    k = 1.0 / jnp.sqrt(hidden_size)
+    ks = jax.random.split(key, 4)
+    u = lambda kk, shape: jax.random.uniform(kk, shape, jnp.float32, -k, k)
+    return LstmParams(
+        w_ih=u(ks[0], (3 * hidden_size, input_size)),
+        w_hh=u(ks[1], (3 * hidden_size, hidden_size)),
+        b_ih=u(ks[2], (3 * hidden_size,)),
+        b_hh=u(ks[3], (3 * hidden_size,)),
+    )
+
+
+def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int,
+               h0=None, c0=None):
+    """x_proj: [T, ..., 4H] precomputed input projection (+ biases)."""
+    H = hidden_size
+    batch_shape = x_proj.shape[1:-1]
+    h = jnp.zeros((*batch_shape, H), x_proj.dtype) if h0 is None else h0
+    c = jnp.zeros((*batch_shape, H), x_proj.dtype) if c0 is None else c0
+    w_hh_t = w_hh.swapaxes(-1, -2)  # [..., H, 4H]
+
+    def step(carry, xp):
+        h, c = carry
+        gates = xp + h @ w_hh_t
+        i = jax.nn.sigmoid(gates[..., 0 * H : 1 * H])
+        f = jax.nn.sigmoid(gates[..., 1 * H : 2 * H])
+        g = jnp.tanh(gates[..., 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H : 4 * H])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    (h, c), ys = lax.scan(step, (h, c), x_proj)
+    return ys, (h, c)
+
+
+def lstm(
+    params: LstmParams,
+    x: jnp.ndarray,
+    h0: Optional[jnp.ndarray] = None,
+    c0: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Single-layer unidirectional LSTM. x: [T, B, In] -> [T, B, H]."""
+    H = params.w_hh.shape[1]
+    x_proj = (
+        jnp.einsum("tbi,gi->tbg", x, params.w_ih,
+                   precision=lax.Precision.HIGHEST)
+        + params.b_ih + params.b_hh
+    )
+    return _lstm_scan(x_proj, params.w_hh, H, h0, c0)
+
+
+def lstm_stack(
+    params: LstmParams,  # leading stack axis L on every field
+    x: jnp.ndarray,  # [L, T, B, In] or [T, B, In] broadcast to all stacks
+) -> jnp.ndarray:
+    """L independent LSTMs in ONE scan. Returns [L, T, B, H]."""
+    L, fourH, In = params.w_ih.shape
+    H = fourH // 4
+    if x.ndim == 3:
+        x_proj = jnp.einsum("tbi,lgi->tlbg", x, params.w_ih,
+                            precision=lax.Precision.HIGHEST)
+    else:
+        x_proj = jnp.einsum("ltbi,lgi->tlbg", x, params.w_ih,
+                            precision=lax.Precision.HIGHEST)
+    x_proj = x_proj + (params.b_ih + params.b_hh)[None, :, None, :]
+    # scan over T with [L, B, *] carries; w_hh [L, H, 4H]
+    ys, _ = _lstm_scan(x_proj, params.w_hh, H)
+    return ys.swapaxes(0, 1)  # [L, T, B, H]
+
+
+def gru(
+    params: LstmParams,
+    x: jnp.ndarray,
+    h0: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-layer unidirectional GRU with torch gate semantics.
+
+    n_t = tanh(W_in x + b_in + r_t * (W_hn h + b_hn));
+    h_t = (1 - z_t) n_t + z_t h_{t-1}.
+    x: [T, B, In] -> [T, B, H].
+    """
+    H = params.w_hh.shape[1]
+    x_proj = (
+        jnp.einsum("tbi,gi->tbg", x, params.w_ih,
+                   precision=lax.Precision.HIGHEST)
+        + params.b_ih
+    )
+    h = jnp.zeros((x.shape[1], H), x.dtype) if h0 is None else h0
+    w_hh_t = params.w_hh.T  # [H, 3H]
+    b_hh = params.b_hh
+
+    def step(h, xp):
+        hp = h @ w_hh_t + b_hh
+        r = jax.nn.sigmoid(xp[..., :H] + hp[..., :H])
+        z = jax.nn.sigmoid(xp[..., H : 2 * H] + hp[..., H : 2 * H])
+        n = jnp.tanh(xp[..., 2 * H :] + r * hp[..., 2 * H :])
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    h, ys = lax.scan(step, h, x_proj)
+    return ys, h

@@ -1,0 +1,239 @@
+"""Parity tests for the ops layer against torch oracles."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from se_tpu.ops import (
+    conv2d,
+    conv_transpose2d,
+    LstmParams,
+    lstm,
+    lstm_stack,
+    gru,
+    batch_norm_2d,
+    offline_laplace_norm,
+    cumulative_laplace_norm,
+    offline_gaussian_norm,
+    cumulative_layer_norm,
+    forgetting_norm,
+    unfold,
+    build_complex_ideal_ratio_mask,
+    compress_cIRM,
+    decompress_cIRM,
+    prelu,
+)
+
+ATOL = 2e-5
+
+
+def test_conv2d_parity(rng):
+    x = rng.standard_normal((2, 4, 16, 20)).astype(np.float32)
+    w = rng.standard_normal((8, 4, 5, 2)).astype(np.float32)
+    b = rng.standard_normal(8).astype(np.float32)
+    want = F.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=(2, 1), padding=(2, 0),
+    ).numpy()
+    got = np.asarray(conv2d(x, w, b, stride=(2, 1), padding=(2, 0)))
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+@pytest.mark.parametrize("output_padding", [(0, 0), (1, 0)])
+def test_conv_transpose2d_parity(rng, output_padding):
+    x = rng.standard_normal((2, 8, 8, 10)).astype(np.float32)
+    w = rng.standard_normal((8, 4, 5, 2)).astype(np.float32)
+    b = rng.standard_normal(4).astype(np.float32)
+    want = F.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=(2, 1), padding=(2, 0), output_padding=output_padding,
+    ).numpy()
+    got = np.asarray(
+        conv_transpose2d(
+            x, w, b, stride=(2, 1), padding=(2, 0),
+            output_padding=output_padding,
+        )
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def _torch_lstm_params(m: nn.LSTM) -> LstmParams:
+    return LstmParams(
+        w_ih=jnp.asarray(m.weight_ih_l0.detach().numpy()),
+        w_hh=jnp.asarray(m.weight_hh_l0.detach().numpy()),
+        b_ih=jnp.asarray(m.bias_ih_l0.detach().numpy()),
+        b_hh=jnp.asarray(m.bias_hh_l0.detach().numpy()),
+    )
+
+
+def test_lstm_parity(rng):
+    torch.manual_seed(0)
+    m = nn.LSTM(12, 16, num_layers=1, batch_first=False)
+    x = rng.standard_normal((7, 3, 12)).astype(np.float32)
+    want, _ = m(torch.from_numpy(x))
+    got, _ = lstm(_torch_lstm_params(m), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=1e-5)
+
+
+def test_lstm_stack_matches_independent(rng):
+    torch.manual_seed(1)
+    m1, m2 = nn.LSTM(10, 8), nn.LSTM(10, 8)
+    p1, p2 = _torch_lstm_params(m1), _torch_lstm_params(m2)
+    stacked = LstmParams(*[jnp.stack([a, b]) for a, b in zip(p1, p2)])
+    x = rng.standard_normal((5, 2, 10)).astype(np.float32)
+    ys = lstm_stack(stacked, jnp.asarray(x))  # [2, T, B, H]
+    y1, _ = lstm(p1, jnp.asarray(x))
+    y2, _ = lstm(p2, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(y1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys[1]), np.asarray(y2), atol=1e-6)
+
+
+def test_gru_parity(rng):
+    torch.manual_seed(2)
+    m = nn.GRU(12, 16, num_layers=1)
+    x = rng.standard_normal((7, 3, 12)).astype(np.float32)
+    want, _ = m(torch.from_numpy(x))
+    p = LstmParams(
+        w_ih=jnp.asarray(m.weight_ih_l0.detach().numpy()),
+        w_hh=jnp.asarray(m.weight_hh_l0.detach().numpy()),
+        b_ih=jnp.asarray(m.bias_ih_l0.detach().numpy()),
+        b_hh=jnp.asarray(m.bias_hh_l0.detach().numpy()),
+    )
+    got, _ = gru(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=1e-5)
+
+
+def test_batch_norm_parity_train_and_eval(rng):
+    torch.manual_seed(3)
+    m = nn.BatchNorm2d(6)
+    x1 = rng.standard_normal((4, 6, 5, 7)).astype(np.float32)
+    x2 = rng.standard_normal((4, 6, 5, 7)).astype(np.float32)
+
+    scale = jnp.asarray(m.weight.detach().numpy())
+    bias = jnp.asarray(m.bias.detach().numpy())
+    # .copy(): torch updates these buffers in place and jnp.asarray may
+    # zero-copy alias host memory
+    rm = jnp.asarray(m.running_mean.numpy().copy())
+    rv = jnp.asarray(m.running_var.numpy().copy())
+
+    m.train()
+    want1 = m(torch.from_numpy(x1)).detach().numpy()
+    got1, rm, rv = batch_norm_2d(x1, scale, bias, rm, rv, train=True)
+    np.testing.assert_allclose(np.asarray(got1), want1, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rm), m.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rv), m.running_var.numpy(), atol=1e-5)
+
+    m.eval()
+    want2 = m(torch.from_numpy(x2)).detach().numpy()
+    got2, _, _ = batch_norm_2d(x2, scale, bias, rm, rv, train=False)
+    np.testing.assert_allclose(np.asarray(got2), want2, atol=1e-5)
+
+
+def test_fullsubnet_norms_parity(rng):
+    x = np.abs(rng.standard_normal((2, 1, 9, 11))).astype(np.float32)
+    xt = torch.from_numpy(x)
+
+    # offline laplace (reference: tools_for_model.py:997-1011)
+    want = (xt / (torch.mean(xt, dim=(1, 2, 3), keepdim=True) + 1e-5)).numpy()
+    np.testing.assert_allclose(np.asarray(offline_laplace_norm(x)), want, atol=ATOL)
+
+    # offline gaussian with unbiased torch.std
+    mu = torch.mean(xt, dim=(1, 2, 3), keepdim=True)
+    std = torch.std(xt, dim=(1, 2, 3), keepdim=True)
+    want = ((xt - mu) / (std + 1e-5)).numpy()
+    np.testing.assert_allclose(np.asarray(offline_gaussian_norm(x)), want, atol=ATOL)
+
+    # cumulative laplace
+    B, C, Fq, T = x.shape
+    xr = xt.reshape(B * C, Fq, T)
+    cum = torch.cumsum(torch.sum(xr, dim=1), dim=-1)
+    cnt = torch.arange(Fq, Fq * T + 1, Fq, dtype=xt.dtype).reshape(1, T)
+    cmean = (cum / cnt).reshape(B * C, 1, T)
+    want = (xr / (cmean + np.finfo(np.float32).eps)).reshape(B, C, Fq, T).numpy()
+    np.testing.assert_allclose(
+        np.asarray(cumulative_laplace_norm(x)), want, atol=ATOL
+    )
+
+    # cumulative layer norm
+    spow = torch.cumsum(torch.sum(xr**2, dim=1), dim=-1)
+    cmean_ = cum / cnt
+    cvar = (spow - 2 * cmean_ * cum) / cnt + cmean_**2
+    cstd = torch.sqrt(cvar + np.finfo(np.float32).eps)
+    want = ((xr - cmean_.reshape(-1, 1, T)) / cstd.reshape(-1, 1, T)).reshape(
+        B, C, Fq, T
+    ).numpy()
+    np.testing.assert_allclose(
+        np.asarray(cumulative_layer_norm(x)), want, atol=1e-4
+    )
+
+
+def test_forgetting_norm_matches_loop_reference(rng):
+    """Oracle: re-run the reference's sequential EMA loop in numpy."""
+    x = np.abs(rng.standard_normal((2, 8, 12))).astype(np.float32)
+    L = 5
+    alpha = (L - 1) / (L + 1)
+    mu = np.zeros((2,))
+    mus = []
+    for idx in range(x.shape[-1]):
+        if idx < L:
+            alp = min((idx - 1) / (idx + 1), alpha)
+            mu = alp * mu + (1 - alp) * x[:, :, idx].mean(axis=1)
+        else:
+            mu = alpha * mu + (1 - alpha) * x[:, :, idx].mean(axis=1)
+        mus.append(mu.copy())
+    mu = np.stack(mus, -1)[:, None, :]
+    want = x / (mu + 1e-10)
+    got = np.asarray(forgetting_norm(x, L))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_unfold_parity(rng):
+    x = rng.standard_normal((2, 1, 17, 6)).astype(np.float32)
+    n = 3
+    # oracle: reference unfold semantics via torch F.unfold
+    xt = torch.from_numpy(x)
+    B, C, Fq, T = xt.shape
+    o = xt.reshape(B * C, 1, Fq, T)
+    o = F.pad(o, [0, 0, n, n], mode="reflect")
+    o = F.unfold(o, (2 * n + 1, T))
+    o = o.reshape(B, C, 2 * n + 1, T, Fq).permute(0, 4, 1, 2, 3)
+    want = o.numpy()
+    got = np.asarray(unfold(x, n))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_unfold_zero_neighbors(rng):
+    x = rng.standard_normal((2, 1, 5, 4)).astype(np.float32)
+    got = np.asarray(unfold(x, 0))
+    assert got.shape == (2, 5, 1, 1, 4)
+    np.testing.assert_allclose(got[:, :, 0, 0, :], x[:, 0], atol=0)
+
+
+def test_cirm_roundtrip(rng):
+    noisy = (
+        rng.standard_normal((2, 9, 7)) + 1j * rng.standard_normal((2, 9, 7))
+    ).astype(np.complex64)
+    clean = (
+        rng.standard_normal((2, 9, 7)) + 1j * rng.standard_normal((2, 9, 7))
+    ).astype(np.complex64)
+    cirm = np.asarray(build_complex_ideal_ratio_mask(noisy, clean))
+    assert cirm.shape == (2, 9, 7, 2)
+    assert np.all(np.abs(cirm) <= 10)
+    # compress/decompress inverse on the valid range
+    m = rng.uniform(-5, 5, (4, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(decompress_cIRM(compress_cIRM(m))), m, atol=1e-4
+    )
+
+
+def test_prelu_parity(rng):
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    m = nn.PReLU()
+    want = m(torch.from_numpy(x)).detach().numpy()
+    got = np.asarray(prelu(x, jnp.asarray(m.weight.detach().numpy())))
+    np.testing.assert_allclose(got, want, atol=ATOL)
