@@ -1,0 +1,2 @@
+from .mesh import make_mesh, shard_batch, replicate
+from .dp import make_parallel_train_step, make_parallel_eval_step
