@@ -1,0 +1,3 @@
+from .dataset import WaveDataset, create_dataloader, DataLoader
+from .prefetch import prefetch_to_device
+from .synth import generate_noisy_wav, scan_directory, mix_at_snr

@@ -1,0 +1,101 @@
+"""Dataset + loader over the monolithic [N, 2, T] waveform corpus.
+
+reference: dataloader.py:11-71 — a torch Dataset over one ``np.load``-ed
+array and three DataLoader modes (train: shuffle + drop_last; valid/test:
+sequential).  Host-side redesign: memory-mapped loading, a pure-numpy
+batching iterator (no torch dependency), and a prefetch stage
+(se_tpu.data.prefetch) that double-buffers host->device transfers — the
+reference runs ``num_workers=0`` synchronous loading (dataloader.py:17).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class WaveDataset:
+    """Paired (noisy, clean) waveforms from one array of shape [N, 2, T].
+
+    Test mode indexes ``input[type][snr]`` first, matching the reference's
+    nested test corpus layout (dataloader.py:58).
+    """
+
+    def __init__(
+        self,
+        path_or_array,
+        mode: str = "train",
+        type: int = 0,
+        snr: int = 0,
+        mmap: bool = True,
+    ):
+        if isinstance(path_or_array, np.ndarray):
+            data = path_or_array
+        else:
+            data = np.load(path_or_array, mmap_mode="r" if mmap else None)
+        if mode == "test":
+            data = data[type][snr]
+        assert data.ndim == 3 and data.shape[1] == 2, data.shape
+        self.mode = mode
+        self.data = data
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        pair = self.data[idx]
+        return np.asarray(pair[0], np.float32), np.asarray(pair[1], np.float32)
+
+
+class DataLoader:
+    """Minimal batching iterator: shuffle / drop_last semantics of the
+    reference's torch loaders (dataloader.py:13-31)."""
+
+    def __init__(
+        self,
+        dataset: WaveDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            data = np.asarray(self.dataset.data[idx], np.float32)
+            yield data[:, 0], data[:, 1]
+
+
+def create_dataloader(
+    mode: str,
+    path_or_array=None,
+    batch: int = 10,
+    type: int = 0,
+    snr: int = 0,
+    seed: int = 0,
+) -> DataLoader:
+    """Drop-in surface of reference create_dataloader (dataloader.py:11-31)."""
+    ds = WaveDataset(path_or_array, mode=mode, type=type, snr=snr)
+    if mode == "train":
+        return DataLoader(ds, batch, shuffle=True, drop_last=True, seed=seed)
+    return DataLoader(ds, batch, shuffle=False, drop_last=False)

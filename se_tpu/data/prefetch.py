@@ -1,0 +1,53 @@
+"""Host->device prefetch: double-buffered asynchronous feeding.
+
+Replaces the reference's synchronous ``num_workers=0`` host loop
+(dataloader.py:17): a background thread stages the next batches onto the
+device (optionally batch-sharded over a mesh) while the current step
+computes, hiding host-side slicing and PCIe/ICI transfer latency.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+import jax
+
+
+def prefetch_to_device(
+    iterator: Iterable,
+    depth: int = 2,
+    sharding=None,
+) -> Iterator:
+    """Yield device-resident batches, ``depth`` transfers in flight."""
+
+    def place(batch):
+        if sharding is not None:
+            return jax.tree.map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        return jax.tree.map(jax.device_put, batch)
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list = []
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(place(batch))
+        except Exception as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

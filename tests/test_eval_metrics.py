@@ -1,0 +1,94 @@
+"""Sanity + property tests for the evaluation stack (STOI, composite, SNR)."""
+
+import numpy as np
+import pytest
+
+from se_tpu.eval.stoi import stoi
+from se_tpu.eval.composite import (
+    wss,
+    llr,
+    snr_measures,
+    composite_measures,
+    _lpcoeff,
+    _toeplitz,
+)
+from se_tpu.eval.metrics import cal_snr
+
+
+def _speechlike(rng, n=32000, fs=16000):
+    """Modulated multi-tone 'speech': broadbandish, non-stationary."""
+    t = np.arange(n) / fs
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * 3 * t)
+    sig = sum(
+        np.sin(2 * np.pi * f * t + rng.uniform(0, 6)) / (i + 1)
+        for i, f in enumerate((220, 440, 880, 1320, 2500))
+    )
+    sig = env * sig + 0.01 * rng.standard_normal(n)
+    return (0.3 * sig / np.max(np.abs(sig))).astype(np.float64)
+
+
+def test_stoi_clean_is_high(rng):
+    x = _speechlike(rng)
+    assert stoi(x, x, 16000) > 0.99
+
+
+def test_stoi_monotonic_with_noise(rng):
+    x = _speechlike(rng)
+    scores = []
+    for snr_db in (20, 5, -5):
+        noise = rng.standard_normal(len(x))
+        noise *= np.sqrt(np.mean(x**2) / np.mean(noise**2) * 10 ** (-snr_db / 10))
+        scores.append(stoi(x, x + noise, 16000))
+    assert scores[0] > scores[1] > scores[2], scores
+    assert scores[0] > 0.7  # tonal test signals score lower than speech
+    assert scores[2] < 0.6
+
+
+def test_wss_zero_for_identical(rng):
+    x = _speechlike(rng)
+    d = wss(x, x, 16000)
+    assert np.allclose(d, 0, atol=1e-8)
+
+
+def test_llr_zero_for_identical(rng):
+    x = _speechlike(rng)
+    d = llr(x, x, 16000)
+    assert np.allclose(d, 0, atol=1e-8)
+
+
+def test_seg_snr_capped_for_identical(rng):
+    x = _speechlike(rng)
+    overall, seg = snr_measures(x, x + 1e-12, 16000)
+    assert np.all(seg == 35.0)
+
+
+def test_composite_degrades_with_noise(rng):
+    x = _speechlike(rng)
+    noise = 0.05 * rng.standard_normal(len(x))
+    csig1, cbak1, covl1, seg1 = composite_measures(x, x + 0.001 * noise, 16000)
+    csig2, cbak2, covl2, seg2 = composite_measures(x, x + noise, 16000)
+    assert seg1 > seg2
+    assert cbak1 >= cbak2
+
+
+def test_lpcoeff_matches_direct_solve(rng):
+    """LPC via Levinson-Durbin must solve the Toeplitz normal equations."""
+    frames = rng.standard_normal((3, 480))
+    R, A = _lpcoeff(frames, 16)
+    for t in range(3):
+        toep = _toeplitz(R[t][:-1])
+        rhs = R[t][1:]
+        a_direct = np.linalg.solve(toep, rhs)
+        np.testing.assert_allclose(-A[t][1:], a_direct, rtol=1e-6, atol=1e-8)
+
+
+def test_cal_snr_reference_formula(rng):
+    clean = _speechlike(rng)
+    noise = 0.1 * rng.standard_normal(len(clean))
+    val = cal_snr(clean + noise, clean)
+    expect = 10 * np.log10(
+        np.sum(np.mean((clean - clean.mean()) ** 2))
+        / np.sum(np.mean((noise - noise.mean()) ** 2))
+        + 1e-8
+    )
+    np.testing.assert_allclose(val, expect, atol=0.3)
