@@ -1,0 +1,71 @@
+"""Orbax checkpointing: (params, opt_state, batch_stats, epoch) per epoch.
+
+reference behaviour: torch.save of {'model','optimizer','epoch'} to
+``{dir}/chkpt_{N}.pt`` every epoch BEFORE validation
+(train_interface.py:166-171,:205-210), resume restores both state dicts and
+continues at epoch+1 (:101-116), and after training the best epoch is
+copied to ``chkpt_opt`` (:233-239).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def _ckpt_path(dir_to_save: str, epoch) -> str:
+    return os.path.abspath(os.path.join(dir_to_save, f"chkpt_{epoch}"))
+
+
+def save_checkpoint(dir_to_save: str, state: TrainState, epoch: int) -> str:
+    path = _ckpt_path(dir_to_save, epoch)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "step": jax.device_get(state.step),
+        "epoch": np.asarray(epoch),
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:
+    """Restore into an existing (freshly created) state. Returns
+    (state, epoch)."""
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "step": jax.device_get(state.step),
+        "epoch": np.asarray(0),
+    }
+    restored = ckptr.restore(os.path.abspath(path), target)
+    new_state = state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        batch_stats=restored["batch_stats"],
+        step=int(restored["step"]),
+    )
+    return new_state, int(restored["epoch"])
+
+
+def copy_best_checkpoint(dir_to_save: str, mse_vali_total: np.ndarray) -> str:
+    """argmin(val loss) -> chkpt_opt (reference: train_interface.py:233-239)."""
+    min_index = int(np.argmin(mse_vali_total))
+    src = _ckpt_path(dir_to_save, min_index + 1)
+    tgt = _ckpt_path(dir_to_save, "opt")
+    if os.path.exists(tgt):
+        shutil.rmtree(tgt)
+    shutil.copytree(src, tgt)
+    return tgt

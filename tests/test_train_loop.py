@@ -1,0 +1,85 @@
+"""Full orchestration test: 2-epoch synthetic run with checkpoints, resume,
+best-copy, logs — the reference's end-to-end behaviour
+(train_interface.py:101-239) on the tutorial-style synthetic corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from se_tpu.config import TrainConfig
+from se_tpu.train.loop import Trainer
+from tests.test_models import small_cfg
+
+
+def _fake_scores(est, clean):
+    return [2.0] * len(est), [0.9] * len(est)
+
+
+def _make_cfg(tmp_path, **kw):
+    rng = np.random.default_rng(0)
+    train_data = rng.standard_normal((6, 2, 16000)).astype(np.float32) * 0.05
+    valid_data = rng.standard_normal((4, 2, 16000)).astype(np.float32) * 0.05
+    cfg = small_cfg(model="CRN", lstm="real", loss="MSE").replace(
+        train=TrainConfig(
+            max_epochs=2,
+            batch=2,
+            job_dir=str(tmp_path / "models") + "/",
+            logs_dir=str(tmp_path / "logs") + "/",
+            **kw,
+        )
+    )
+    return cfg, train_data, valid_data
+
+
+def test_two_epoch_run_produces_artifacts(tmp_path):
+    cfg, train_data, valid_data = _make_cfg(tmp_path)
+    t = Trainer(cfg, train_data, valid_data, score_fn=_fake_scores)
+    t.setup()
+    mse = t.run()
+
+    d = t.dir_to_save
+    assert os.path.exists(os.path.join(d, "chkpt_1"))
+    assert os.path.exists(os.path.join(d, "chkpt_2"))
+    assert os.path.exists(os.path.join(d, "chkpt_opt"))
+    assert os.path.exists(os.path.join(d, "log.txt"))
+    assert os.path.exists(os.path.join(d, "mse_vali_total.npy"))
+    assert os.path.exists(os.path.join(d, "Epoch_1_SCORES"))
+    assert np.all(mse[:2] != 0)
+
+    with open(os.path.join(d, "Epoch_1_SCORES")) as f:
+        lines = f.readlines()
+    assert len(lines) == 4  # one line per validation sample
+    assert lines[0].startswith("PESQ ")
+
+    with open(os.path.join(d, "log.txt")) as f:
+        log = f.read()
+    assert "total params" in log
+    assert "Epoch [1]" in log and "Epoch [2]" in log
+
+
+def test_resume_continues_from_checkpoint(tmp_path):
+    cfg, train_data, valid_data = _make_cfg(tmp_path)
+    t = Trainer(cfg, train_data, valid_data, score_fn=_fake_scores)
+    t.setup()
+    t.run()
+    run_name = os.path.basename(t.dir_to_save)
+
+    # resume from epoch 1 with max_epochs 3
+    cfg2 = cfg.replace(
+        train=TrainConfig(
+            max_epochs=3,
+            batch=2,
+            job_dir=cfg.train.job_dir,
+            logs_dir=cfg.train.logs_dir,
+            chkpt_model=run_name,
+            chkpt="1",
+        )
+    )
+    t2 = Trainer(cfg2, train_data, valid_data, score_fn=_fake_scores)
+    t2.setup()
+    assert t2.epoch_start_idx == 2
+    assert len(t2.mse_vali_total) == 3
+    mse = t2.run()
+    assert os.path.exists(os.path.join(t2.dir_to_save, "chkpt_3"))
+    assert np.all(mse != 0)
