@@ -184,9 +184,47 @@ def snr_measures(clean: np.ndarray, processed: np.ndarray, fs: int):
     return overall, np.clip(seg, -10.0, 35.0)
 
 
-def composite_measures(clean: np.ndarray, processed: np.ndarray, fs: int):
+def composite_measures_native(clean: np.ndarray, processed: np.ndarray, fs: int):
+    """Native C++ path (native/composite/composite.cc); returns None if the
+    library is unavailable."""
+    import ctypes
+
+    from .pesq_native import _load
+
+    try:
+        lib = _load()
+    except Exception:
+        return None
+    lib.composite_measures_c.restype = None
+    lib.composite_measures_c.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    n = min(len(clean), len(processed))
+    c = np.ascontiguousarray(clean[:n], np.float64)
+    p = np.ascontiguousarray(processed[:n], np.float64)
+    out = (ctypes.c_double * 4)()
+    lib.composite_measures_c(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        fs,
+        out,
+    )
+    return tuple(out)
+
+
+def composite_measures(clean: np.ndarray, processed: np.ndarray, fs: int,
+                       prefer_native: bool = True):
     """CSIG/CBAK/COVL (pesq term zero, clamped) + mean segSNR
     (composite.m:40-89)."""
+    if prefer_native:
+        native = composite_measures_native(clean, processed, fs)
+        if native is not None:
+            return native
     eps = np.finfo(np.float64).eps
     n = min(len(clean), len(processed))
     clean = clean[:n] + eps
