@@ -1,0 +1,80 @@
+"""Enhancement inference CLI: load a trained checkpoint and enhance wavs.
+
+The reference exposes no inference script (enhancement happens inside the
+validation loop); this is the drop-in inference surface users expect.
+
+Usage:
+    python enhance.py --checkpoint models/RUN/chkpt_opt \
+        --model DCCRN [--masking-mode E] [--lstm complex] \
+        noisy1.wav [noisy2.wav ...] --out-dir enhanced/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("wavs", nargs="+")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--model", default="DCCRN", choices=["DCCRN", "CRN", "FullSubNet"])
+    p.add_argument("--masking-mode", default="E")
+    p.add_argument("--lstm", default="complex")
+    p.add_argument("--out-dir", default="enhanced")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from se_tpu.config import Config
+    from se_tpu.models import build_model
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import restore_checkpoint
+    from se_tpu.data.synth import read_wav, write_wav
+
+    cfg = Config(
+        model=args.model, masking_mode=args.masking_mode, lstm=args.lstm
+    )
+    model, state = create_train_state(cfg)
+    state, _ = restore_checkpoint(args.checkpoint, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if cfg.model == "FullSubNet":
+        from se_tpu.dsp import frame_stft
+        from se_tpu.train.steps import fullsubnet_enhance
+
+        def enhance(wav):
+            s = cfg.stft
+            noisy_complex = frame_stft(
+                wav[None], s.fft_len, s.torch_hop, s.win_len
+            )
+            mag = jnp.abs(noisy_complex)
+            cRM = model.apply(variables, mag, train=False)
+            return np.asarray(
+                fullsubnet_enhance(cfg, cRM, noisy_complex, wav.shape[-1])
+            )[0]
+
+    else:
+
+        def enhance(wav):
+            out = model.apply(variables, wav[None], train=False)
+            return np.asarray(out[-1])[0]
+
+    enhance = jax.jit(enhance) if False else enhance  # shapes vary per file
+
+    for path in args.wavs:
+        wav, fs = read_wav(path, cfg.stft.fs)
+        y = enhance(jnp.asarray(wav.astype(np.float32)))
+        out_path = os.path.join(args.out_dir, os.path.basename(path))
+        write_wav(out_path, y, cfg.stft.fs)
+        print(f"enhanced {path} -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -119,7 +119,10 @@ class CRN(nn.Module):
         c = self.cfg
         mags, phase = conv_stft_mag_phase(inputs, self.stft_kernels)
 
-        out = mags[:, None, 1:, :]  # [B, 1, F-1, T], drop DC bin
+        compute_dtype = (
+            jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        )
+        out = mags[:, None, 1:, :].astype(compute_dtype)  # drop DC bin
         encoder_out = []
         for conv, bn, act in zip(self.encoder, self.encoder_bn, self.encoder_act):
             out = act(bn(conv(out), train=train))
@@ -142,7 +145,7 @@ class CRN(nn.Module):
                 )
             out = out[..., 1:]
 
-        out = out[:, 0]  # squeeze channel
+        out = out[:, 0].astype(jnp.float32)  # squeeze channel
         out = jnp.pad(out, ((0, 0), (1, 0), (0, 0)))  # re-pad DC bin
 
         target_mags = None

@@ -169,7 +169,10 @@ class DCCRN(nn.Module):
         spec_phase = jnp.arctan2(imag, real)
         cspecs = jnp.stack([real, imag], axis=1)[:, :, 1:]  # drop DC bin
 
-        out = cspecs
+        compute_dtype = (
+            jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        )
+        out = cspecs.astype(compute_dtype)
         encoder_out = []
         for conv, bn, act in zip(self.encoder, self.encoder_bn, self.encoder_act):
             out = act(bn(conv(out), train=train))
@@ -203,6 +206,7 @@ class DCCRN(nn.Module):
                     self.decoder_bn[idx](out, train=train)
                 )
             out = out[..., 1:]  # causal time trim per stage
+        out = out.astype(jnp.float32)  # masking/iSTFT in full precision
 
         if self.masking_mode == "Direct(None make)":
             assert targets is not None, "Direct mapping needs targets"

@@ -50,7 +50,7 @@ class TorchLinear(nn.Module):
             lambda k, s: _torch_linear_init(k, fan_in, s),
             (self.features,),
         )
-        return x @ w.T + b
+        return x @ w.T.astype(x.dtype) + b.astype(x.dtype)
 
 
 class TorchBatchNorm2d(nn.Module):
@@ -70,13 +70,15 @@ class TorchBatchNorm2d(nn.Module):
         rv = self.variable(
             "batch_stats", "running_var", jnp.ones, (self.num_features,)
         )
+        in_dtype = x.dtype
         y, new_m, new_v = batch_norm_2d(
-            x, scale, bias, rm.value, rv.value, train, self.momentum, self.eps
+            x.astype(jnp.float32), scale, bias, rm.value, rv.value,
+            train, self.momentum, self.eps,
         )
         if train and not self.is_initializing():
             rm.value = new_m
             rv.value = new_v
-        return y
+        return y.astype(in_dtype)
 
 
 class ComplexBatchNorm(nn.Module):

@@ -32,8 +32,14 @@ def conv2d(
     groups: int = 1,
     precision=None,
 ) -> jnp.ndarray:
-    """torch ``F.conv2d`` semantics: x [B,C,H,W], w [O,I/g,kh,kw]."""
+    """torch ``F.conv2d`` semantics: x [B,C,H,W], w [O,I/g,kh,kw].
+
+    Weights are cast to the activation dtype (mixed-precision path: bf16
+    activations with f32 master weights).
+    """
     stride, padding, dilation = _pair(stride), _pair(padding), _pair(dilation)
+    w = w.astype(x.dtype)
+    b = b.astype(x.dtype) if b is not None else None
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
     out = lax.conv_general_dilated(
         x,
@@ -71,6 +77,8 @@ def conv_transpose2d(
     """
     stride, padding = _pair(stride), _pair(padding)
     output_padding, dilation = _pair(output_padding), _pair(dilation)
+    w = w.astype(x.dtype)
+    b = b.astype(x.dtype) if b is not None else None
     kh, kw = w.shape[2], w.shape[3]
 
     w_t = jnp.flip(w, axis=(2, 3)).swapaxes(0, 1)  # [O, I, kh, kw]

@@ -85,6 +85,7 @@ def lstm(
     c0: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Single-layer unidirectional LSTM. x: [T, B, In] -> [T, B, H]."""
+    params = LstmParams(*[p.astype(x.dtype) for p in params])
     H = params.w_hh.shape[1]
     x_proj = (
         jnp.einsum("tbi,gi->tbg", x, params.w_ih,
@@ -99,6 +100,7 @@ def lstm_stack(
     x: jnp.ndarray,  # [L, T, B, In] or [T, B, In] broadcast to all stacks
 ) -> jnp.ndarray:
     """L independent LSTMs in ONE scan. Returns [L, T, B, H]."""
+    params = LstmParams(*[p.astype(x.dtype) for p in params])
     L, fourH, In = params.w_ih.shape
     H = fourH // 4
     if x.ndim == 3:
@@ -124,6 +126,7 @@ def gru(
     h_t = (1 - z_t) n_t + z_t h_{t-1}.
     x: [T, B, In] -> [T, B, H].
     """
+    params = LstmParams(*[p.astype(x.dtype) for p in params])
     H = params.w_hh.shape[1]
     x_proj = (
         jnp.einsum("tbi,gi->tbg", x, params.w_ih,
