@@ -382,7 +382,7 @@ class NavieComplexLSTM(nn.Module):
     projection_dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, inputs):
+    def __call__(self, inputs, state=None, return_state: bool = False):
         real, imag = inputs  # each [T, B, input_size // 2]
         in_dim = self.input_size // 2
         units = self.hidden_size // 2
@@ -418,7 +418,9 @@ class NavieComplexLSTM(nn.Module):
 
         B = real.shape[1]
         z = jnp.concatenate([real, imag], axis=1)  # [T, 2B, in_dim]
-        ys = rnn_ops.lstm_stack(stacked, z)  # [2, T, 2B, units]
+        ys, final = rnn_ops.lstm_stack(
+            stacked, z, state=state, return_state=True
+        )  # [2, T, 2B, units]
         r2r, i2r = ys[0, :, :B], ys[0, :, B:]
         r2i, i2i = ys[1, :, :B], ys[1, :, B:]
         real_out = r2r - i2i
@@ -427,6 +429,8 @@ class NavieComplexLSTM(nn.Module):
             proj = self.projection_dim // 2
             real_out = TorchLinear(proj, name="r_trans")(real_out)
             imag_out = TorchLinear(proj, name="i_trans")(imag_out)
+        if return_state:
+            return [real_out, imag_out], final
         return [real_out, imag_out]
 
 

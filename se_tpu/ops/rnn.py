@@ -98,8 +98,11 @@ def lstm(
 def lstm_stack(
     params: LstmParams,  # leading stack axis L on every field
     x: jnp.ndarray,  # [L, T, B, In] or [T, B, In] broadcast to all stacks
-) -> jnp.ndarray:
-    """L independent LSTMs in ONE scan. Returns [L, T, B, H]."""
+    state=None,  # optional ((h, c)) with h, c of shape [L, B, H]
+    return_state: bool = False,
+):
+    """L independent LSTMs in ONE scan. Returns [L, T, B, H]
+    (and the final (h, c) when ``return_state``)."""
     params = LstmParams(*[p.astype(x.dtype) for p in params])
     L, fourH, In = params.w_ih.shape
     H = fourH // 4
@@ -110,9 +113,15 @@ def lstm_stack(
         x_proj = jnp.einsum("ltbi,lgi->tlbg", x, params.w_ih,
                             precision=lax.Precision.HIGHEST)
     x_proj = x_proj + (params.b_ih + params.b_hh)[None, :, None, :]
-    # scan over T with [L, B, *] carries; w_hh [L, H, 4H]
-    ys, _ = _lstm_scan(x_proj, params.w_hh, H)
-    return ys.swapaxes(0, 1)  # [L, T, B, H]
+    # scan over T with [L, B, *] carries; w_hh [L, 4H, H]
+    h0 = c0 = None
+    if state is not None:
+        h0, c0 = state
+    ys, final = _lstm_scan(x_proj, params.w_hh, H, h0, c0)
+    ys = ys.swapaxes(0, 1)  # [L, T, B, H]
+    if return_state:
+        return ys, final
+    return ys
 
 
 def gru(

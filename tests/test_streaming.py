@@ -1,0 +1,92 @@
+"""Streaming DCCRN must match the batch forward on interior frames and be
+chunk-invariant (state carried across chunk boundaries)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from se_tpu.models import build_model
+from se_tpu.models.streaming import StreamingDCCRN
+from se_tpu.models.factory import init_model, example_batch
+from se_tpu.dsp import conv_stft
+from tests.test_models import small_cfg
+
+
+@pytest.mark.parametrize("mode", ["E", "C"])
+def test_streaming_matches_batch_interior(mode):
+    cfg = small_cfg(model="DCCRN", masking_mode=mode)
+    batch_model = build_model(cfg)
+    variables = init_model(cfg, batch_model, batch=2, seconds=1)
+    stream_model = StreamingDCCRN(cfg)
+
+    noisy, _ = example_batch(cfg, batch=2, seconds=1)
+    out_r, out_i, _ = batch_model.apply(variables, noisy, train=False)
+    batch_spec = np.concatenate([np.asarray(out_r), np.asarray(out_i)], axis=1)
+
+    stream_spec, _ = stream_model.apply(variables, noisy, method="__call__")
+    stream_spec = np.asarray(stream_spec)
+
+    n = stream_model.bind(variables).n_stages
+    T = stream_spec.shape[-1]  # streaming emits L/hop frames (no right pad)
+    got = stream_spec[..., n:T]
+    want = batch_spec[..., : T - n]
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_streaming_chunk_invariance():
+    """Feeding two chunks with carried state == feeding the concatenation.
+
+    Note: the conv-STFT pads each chunk's edges, so frames near the chunk
+    boundary come from padded context; to isolate state carry, feed spectra
+    computed once and compare full-signal vs split processing.
+    """
+    cfg = small_cfg(model="DCCRN", masking_mode="E")
+    batch_model = build_model(cfg)
+    variables = init_model(cfg, batch_model, batch=1, seconds=1)
+    stream_model = StreamingDCCRN(cfg)
+    bound = stream_model.bind(variables)
+
+    noisy, _ = example_batch(cfg, batch=1, seconds=1)
+    specs = conv_stft(noisy, bound.stft_kernels)  # [1, F2, T]
+
+    # process all frames in one scan vs two halves with carried state,
+    # driving the internal step through __call__ on crafted wavs is
+    # indirect; instead scan manually via the module's step by splitting
+    # the spec frames through two calls of the internal scan
+    # (we re-enter apply with the state from the first half).
+    import jax
+
+    T = specs.shape[-1]
+    # full pass
+    full_spec, _ = stream_model.apply(variables, noisy)
+
+    # two-pass: emulate by slicing the waveform at a hop boundary and
+    # comparing the frames after the second chunk's STFT warmup region
+    hop, win = cfg.stft.win_inc, cfg.stft.win_len
+    split = 8000
+    first, st = stream_model.apply(variables, noisy[:, :split])
+    second, _ = stream_model.apply(variables, noisy[:, split:], st)
+
+    # with stateful framing the split processing matches the full pass
+    t_first = first.shape[-1]
+    combined = np.concatenate(
+        [np.asarray(first), np.asarray(second)], axis=-1
+    )
+    np.testing.assert_allclose(
+        combined, np.asarray(full_spec), atol=2e-4
+    )
+
+
+def test_streaming_synthesize_shape():
+    cfg = small_cfg(model="DCCRN")
+    stream_model = StreamingDCCRN(cfg)
+    variables = init_model(cfg, build_model(cfg), batch=1, seconds=1)
+    noisy, _ = example_batch(cfg, batch=1, seconds=1)
+    spec, _ = stream_model.apply(variables, noisy)
+    wav = stream_model.bind(variables).synthesize(spec)
+    # streaming emits L/hop frames; OLA of T frames spans
+    # (T-1)*hop + win - 2*(win-hop) samples after edge trims
+    T = spec.shape[-1]
+    hop, win = cfg.stft.win_inc, cfg.stft.win_len
+    assert wav.shape == (1, (T - 1) * hop + win - 2 * (win - hop))
+    assert np.isfinite(np.asarray(wav)).all()
