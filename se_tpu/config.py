@@ -166,6 +166,10 @@ class Config:
     # f32 default matches the reference; bf16 is the TPU-native fast path.
     compute_dtype: str = "float32"
 
+    # Use the Pallas fused im2col-GEMM kernel for the DCCRN/CRN encoder
+    # convs (se_tpu/ops/pallas_conv.py). Off by default.
+    use_pallas_conv: bool = False
+
     def __post_init__(self):
         if self.model not in MODEL_LIST:
             raise ValueError(f"model must be one of {MODEL_LIST}, got {self.model!r}")

@@ -55,6 +55,7 @@ class DCCRN(nn.Module):
                     kernel_size=(self.kernel_size, 2),
                     stride=(2, 1),
                     padding=(2, 1),
+                    use_pallas=c.use_pallas_conv,
                     name=f"encoder_{idx}_conv",
                 )
             )

@@ -211,6 +211,7 @@ class ComplexConv2d(nn.Module):
     stride: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int] = (0, 0)
     causal: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -220,13 +221,32 @@ class ComplexConv2d(nn.Module):
         br = self.param("real_bias", nn.initializers.zeros, (co,))
         bi = self.param("imag_bias", nn.initializers.zeros, (co,))
 
+        B = x.shape[0]
         ph, pw = self.padding
+        pallas_ok = (
+            self.use_pallas
+            and self.causal
+            and self.kernel_size == (5, 2)
+            and tuple(self.stride) == (2, 1)
+            and (ph, pw) == (2, 1)
+        )
+        if pallas_ok:
+            from ..ops.pallas_conv import fused_complex_conv2d
+
+            r, i = x[:, :ci], x[:, ci:]
+            z = jnp.concatenate([r, i], axis=0)
+            w = jnp.concatenate([wr, wi], axis=0)
+            bias = jnp.concatenate([br, bi])
+            y = fused_complex_conv2d(z, w, bias)
+            r2r, r2i = y[:B, :co], y[:B, co:]
+            i2r, i2i = y[B:, :co], y[B:, co:]
+            return jnp.concatenate([r2r - i2i, r2i + i2r], axis=1)
+
         if pw != 0 and self.causal:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pw, 0)))
         else:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pw, pw)))
 
-        B = x.shape[0]
         r, i = x[:, :ci], x[:, ci:]
         z = jnp.concatenate([r, i], axis=0)  # [2B, ci, F, T]
         w = jnp.concatenate([wr, wi], axis=0)  # [2co, ci, kh, kw]
