@@ -55,16 +55,43 @@ class Writer:
         self._w.add_scalar("STOI", float(stoi), step)
 
     # -- audio ------------------------------------------------------------
+    def _encode_wav(self, wav: np.ndarray) -> bytes:
+        """int16 WAV encoding via the stdlib (tensorboardX's own audio path
+        needs the soundfile package, which this image does not ship)."""
+        import io
+        import wave as wave_mod
+
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(self.fs)
+            pcm = np.clip(np.asarray(wav, np.float64), -1.0, 1.0)
+            f.writeframes((pcm * 32767).astype("<i2").tobytes())
+        return buf.getvalue()
+
     def log_wav(self, noisy_wav, clean_wav, enhanced_wav, step):
         """Audio triplet every N epochs (reference: write_on_tensorboard.py:332-336)."""
         if self._w is None:
             return
+        from tensorboardX.proto.summary_pb2 import Summary
+
         for name, wav in (
             ("noisy_target_wav", noisy_wav),
             ("clean_target_wav", clean_wav),
             ("enhanced_wav", enhanced_wav),
         ):
-            self._w.add_audio(name, np.asarray(wav), step, sample_rate=self.fs)
+            wav = np.asarray(wav).reshape(-1)
+            audio = Summary.Audio(
+                sample_rate=self.fs,
+                num_channels=1,
+                length_frames=len(wav),
+                encoded_audio_string=self._encode_wav(wav),
+                content_type="audio/wav",
+            )
+            self._w._get_file_writer().add_summary(
+                Summary(value=[Summary.Value(tag=name, audio=audio)]), step
+            )
 
     # -- images -----------------------------------------------------------
     def log_spectrogram(self, noisy_wav, clean_wav, enhanced_wav, step):

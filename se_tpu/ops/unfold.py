@@ -27,3 +27,33 @@ def unfold(x: jnp.ndarray, num_neighbor: int) -> jnp.ndarray:
         [xp[:, :, j : j + F, :] for j in range(size)], axis=3
     )  # [B, C, F, 2n+1, T]
     return windows.transpose(0, 2, 1, 3, 4)  # [B, F, C, 2n+1, T]
+
+
+def reduce_complexity_separately(
+    sub_band_input: jnp.ndarray,
+    full_band_output: jnp.ndarray,
+) -> jnp.ndarray:
+    """Three-way batch/frequency interleaved band dropping.
+
+    reference: tools_for_model.py:840-878 (present in BaseModel but unused
+    on the main path).  Splits the batch into three sub-batches, selects
+    every third frequency (offset i+1, avoiding the padded first/last
+    bins), and concatenates sub-band and full-band features.
+
+    Args:
+      sub_band_input: [B, F, C, F_s, T]
+      full_band_output: [B, F, C, F_f, T]
+    Returns:
+      [B, F//3-ish, C, F_s + F_f, T]
+    """
+    batch_size = full_band_output.shape[0]
+    n_freqs = full_band_output.shape[1]
+    sub_batch_size = batch_size // 3
+    final_selected = []
+    for idx in range(3):
+        b0, b1 = idx * sub_batch_size, (idx + 1) * sub_batch_size
+        freq_indices = jnp.arange(idx + 1, n_freqs - 1, 3)
+        fb = full_band_output[b0:b1][:, freq_indices]
+        sb = sub_band_input[b0:b1][:, freq_indices]
+        final_selected.append(jnp.concatenate([sb, fb], axis=-2))
+    return jnp.concatenate(final_selected, axis=0)
