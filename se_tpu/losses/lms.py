@@ -81,7 +81,9 @@ def _perceptual_transform(mags, banks, fft_size, compat_scrambled):
     else:
         spec = jnp.swapaxes(mags, -1, -2).reshape(-1, F)  # time-major frames
     spec = spec / fft_size
-    return [jnp.log(spec @ fb + 1e-7) for fb in banks]
+    # CRN's tanh-masked magnitudes can dip below zero; clamp so the log is
+    # defined (the reference's CRN+LMS path never runs, see module docs)
+    return [jnp.log(jnp.maximum(spec @ fb, 0.0) + 1e-7) for fb in banks]
 
 
 def lms_loss(
