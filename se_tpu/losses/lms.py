@@ -63,8 +63,11 @@ def mel_filterbank(num_coeffs: int, fft_size: int, fs: int) -> np.ndarray:
 
 @lru_cache(maxsize=8)
 def _filterbanks(scales: tuple, fft_size: int, fs: int):
+    # cache NUMPY arrays: caching jnp arrays created inside a jit trace
+    # leaks tracers across compilations
     return tuple(
-        jnp.asarray(mel_filterbank(s, fft_size, fs).T) for s in scales
+        np.ascontiguousarray(mel_filterbank(s, fft_size, fs).T)
+        for s in scales
     )  # each [F, n_mel]
 
 

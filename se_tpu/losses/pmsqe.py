@@ -38,23 +38,21 @@ _NR_HZ = np.asarray(T.NR_OF_HZ_BANDS_PER_BARK_BAND)
 
 @lru_cache(maxsize=1)
 def _bark_matrix():
-    """[NFFT//2, NB] 0/1 grouping matrix with Sp/correction folded in."""
+    """[NFFT//2, NB] 0/1 grouping matrix with Sp/correction folded in.
+
+    Cached as numpy (jnp arrays created inside a trace leak tracers)."""
     m = np.zeros((NFFT // 2, NB), np.float32)
     edges = np.concatenate([[0], np.cumsum(_NR_HZ)]).astype(int)
     for b in range(NB):
         m[edges[b] : edges[b + 1], b] = _POW_CORR[b] * SP
-    return jnp.asarray(m)
+    return m
 
 
 @lru_cache(maxsize=1)
 def _consts():
     h = np.where(_CENTRE_BARK < 4.0, 6.0 / (_CENTRE_BARK + 2.0), 1.0)
     h = np.minimum(h, 2.0) ** 0.15
-    return (
-        jnp.asarray(_ABS_THRESH),
-        jnp.asarray(0.23 * h),
-        jnp.asarray(_WIDTH_BARK),
-    )
+    return (_ABS_THRESH, 0.23 * h, _WIDTH_BARK)
 
 
 def _sqrt_hann(n: int) -> np.ndarray:
@@ -63,7 +61,7 @@ def _sqrt_hann(n: int) -> np.ndarray:
 
 def _power_spectra(wav: jnp.ndarray) -> jnp.ndarray:
     """[B, L] -> [B, T, NFFT//2] power spectra of sqrt-hann frames."""
-    w = jnp.asarray(_sqrt_hann(NFFT).astype(np.float32))
+    w = _sqrt_hann(NFFT).astype(np.float32)
     B, L = wav.shape
     n_frames = (L - NFFT) // HOP + 1
     idx = jnp.arange(n_frames)[:, None] * HOP + jnp.arange(NFFT)[None, :]
