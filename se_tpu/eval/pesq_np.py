@@ -9,6 +9,17 @@ binary (reference: PESQ.so, called per tools_for_estimate.py:51-75).
 Constants are the published P.862 tables (se_tpu/eval/p862_tables.py).
 This module is the algorithmic specification; native/pesq/pesq.cc is the
 optimised C++ port used in the validation hot loop.
+
+Validation status vs the ITU oracle binary (tools/pesq_oracle_battery.py):
+identical/gain-scaled pairs are exact; time-ALIGNED degradations (additive
+noise at any SNR, gain modulation, different signals, spectral shaping)
+agree within ~0.002-0.03 MOS — the regime of enhancement validation, where
+model outputs are sample-aligned with the clean reference.  Signals with
+bulk time shifts score systematically differently (the oracle's
+utterance-based split alignment interacts with signal edges in ways this
+implementation approximates with a global fine alignment); if
+PESQ-of-delayed-signals matters for a use case, extend the alignment to
+the per-utterance machinery.
 """
 
 from __future__ import annotations

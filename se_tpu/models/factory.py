@@ -51,11 +51,42 @@ def init_model(cfg: Config, model, seed: int = 0, batch: int = 2, seconds: int =
         variables = model.init(
             {"params": key, "dropout": key}, mag, train=False
         )
+        if cfg.fullsubnet.weight_init:
+            variables = dict(variables)
+            variables["params"] = apply_reference_weight_init(
+                variables["params"], jax.random.PRNGKey(seed + 1)
+            )
     else:
         variables = model.init(
             {"params": key, "dropout": key}, noisy, clean, train=False
         )
     return variables
+
+
+def apply_reference_weight_init(params, key):
+    """FullSubNet optional init table (reference: tools_for_model.py:1120-1186,
+    gated by config weight_init, config.py:79): orthogonal for >=2-D RNN
+    weights, xavier-normal for Linear weights, standard-normal biases."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree.structure(params)
+    new_leaves = []
+    keys = jax.random.split(key, len(flat))
+    for (path, leaf), k in zip(flat, keys):
+        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        if leaf.ndim >= 2:
+            if "weight_ih" in name or "weight_hh" in name:
+                new_leaves.append(
+                    jax.nn.initializers.orthogonal()(k, leaf.shape, leaf.dtype)
+                )
+            elif "fc_output_layer/weight" in name:
+                new_leaves.append(
+                    jax.nn.initializers.xavier_normal()(k, leaf.shape, leaf.dtype)
+                )
+            else:
+                new_leaves.append(leaf)
+        else:
+            new_leaves.append(jax.random.normal(k, leaf.shape, leaf.dtype))
+    return jax.tree.unflatten(treedef, new_leaves)
 
 
 def calculate_total_params(params) -> int:
