@@ -44,7 +44,12 @@ def _map(fn, jobs, workers: int | None):
         workers = 0
     if workers <= 1 or len(jobs) <= 1:
         return [fn(j) for j in jobs]
-    with ProcessPoolExecutor(max_workers=workers) as ex:
+    # spawn context: never fork a process holding a live TPU client; the
+    # scorers only import numpy/scipy/ctypes, so spawn stays lightweight
+    import multiprocessing
+
+    ctx = multiprocessing.get_context("spawn")
+    with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as ex:
         return list(ex.map(fn, jobs))
 
 
