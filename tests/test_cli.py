@@ -1,0 +1,95 @@
+"""CLI surface tests: train_interface end-to-end on tiny synthetic data,
+mesh-mode Trainer, corpus synthesis CLI."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_train_interface_cli(tmp_path):
+    rng = np.random.default_rng(0)
+    train = rng.standard_normal((4, 2, 16000)).astype(np.float32) * 0.05
+    valid = rng.standard_normal((2, 2, 16000)).astype(np.float32) * 0.05
+    tp, vp = str(tmp_path / "train.npy"), str(tmp_path / "valid.npy")
+    np.save(tp, train)
+    np.save(vp, valid)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # prevent the container's sitecustomize from registering the axon TPU
+    # backend in the subprocess (CPU-only test)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [
+            sys.executable, "train_interface.py",
+            "--model", "CRN", "--lstm", "real", "--loss", "MSE",
+            "--max-epochs", "1", "--batch", "2",
+            "--train-data", tp, "--valid-data", vp,
+            "--job-dir", str(tmp_path / "models") + "/",
+            "--logs-dir", str(tmp_path / "logs") + "/",
+        ],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "Training has been finished." in out.stdout
+    runs = os.listdir(tmp_path / "models")
+    assert len(runs) == 1
+    run_dir = tmp_path / "models" / runs[0]
+    assert (run_dir / "chkpt_opt").exists()
+
+
+def test_synth_cli(tmp_path):
+    from se_tpu.data.synth import write_wav, generate_corpus
+
+    rng = np.random.default_rng(1)
+    for d in ("train/clean", "train/noise", "valid/clean"):
+        os.makedirs(tmp_path / d)
+    for i in range(2):
+        write_wav(
+            str(tmp_path / "train/clean" / f"c{i}.wav"),
+            rng.standard_normal(8000) * 0.1, 16000,
+        )
+        write_wav(
+            str(tmp_path / "valid/clean" / f"v{i}.wav"),
+            rng.standard_normal(8000) * 0.1, 16000,
+        )
+    write_wav(
+        str(tmp_path / "train/noise" / "n.wav"),
+        rng.standard_normal(20000) * 0.1, 16000,
+    )
+    log = generate_corpus("train", [0.0, 5.0], 16000, root=str(tmp_path))
+    assert os.path.exists(log)
+    noisy = os.listdir(tmp_path / "train/noisy")
+    assert len(noisy) == 4  # 2 clean x 2 SNRs
+    log = generate_corpus("valid", [0.0, 5.0], 16000, root=str(tmp_path))
+    assert len(os.listdir(tmp_path / "valid/noisy")) == 2
+
+
+def test_trainer_mesh_mode(tmp_path):
+    """Trainer with use_mesh=True over the 8-device virtual mesh."""
+    from se_tpu.config import TrainConfig
+    from se_tpu.train.loop import Trainer
+    from tests.test_models import small_cfg
+
+    rng = np.random.default_rng(0)
+    train = rng.standard_normal((16, 2, 16000)).astype(np.float32) * 0.05
+    valid = rng.standard_normal((8, 2, 16000)).astype(np.float32) * 0.05
+    cfg = small_cfg(model="CRN", lstm="real", loss="MSE").replace(
+        train=TrainConfig(
+            max_epochs=1,
+            batch=8,
+            job_dir=str(tmp_path / "models") + "/",
+            logs_dir=str(tmp_path / "logs") + "/",
+        )
+    )
+    t = Trainer(
+        cfg, train, valid, use_mesh=True,
+        score_fn=lambda e, c: ([2.0] * len(e), [0.9] * len(e)),
+    )
+    t.setup()
+    mse = t.run()
+    assert np.isfinite(mse[0]) and mse[0] != 0
