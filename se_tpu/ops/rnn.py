@@ -74,7 +74,8 @@ def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int,
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    (h, c), ys = lax.scan(step, (h, c), x_proj)
+    # unroll amortises per-step dispatch overhead on TPU; numerics unchanged
+    (h, c), ys = lax.scan(step, (h, c), x_proj, unroll=4)
     return ys, (h, c)
 
 
@@ -154,5 +155,5 @@ def gru(
         h = (1.0 - z) * n + z * h
         return h, h
 
-    h, ys = lax.scan(step, h, x_proj)
+    h, ys = lax.scan(step, h, x_proj, unroll=4)
     return ys, h
