@@ -170,6 +170,10 @@ class Config:
     # convs (se_tpu/ops/pallas_conv.py). Off by default.
     use_pallas_conv: bool = False
 
+    # Rematerialise the complex conv stages in the backward pass (trades
+    # recompute for HBM, unlocking larger per-chip batches).
+    remat_convs: bool = False
+
     def __post_init__(self):
         if self.model not in MODEL_LIST:
             raise ValueError(f"model must be one of {MODEL_LIST}, got {self.model!r}")

@@ -46,10 +46,18 @@ class DCCRN(nn.Module):
         )
 
         n_stage = len(self.kernel_num) - 1
+        ConvCls = (
+            nn.remat(ComplexConv2d) if c.remat_convs else ComplexConv2d
+        )
+        ConvTCls = (
+            nn.remat(ComplexConvTranspose2d)
+            if c.remat_convs
+            else ComplexConvTranspose2d
+        )
         encoder, enc_bn, enc_act = [], [], []
         for idx in range(n_stage):
             encoder.append(
-                ComplexConv2d(
+                ConvCls(
                     self.kernel_num[idx],
                     self.kernel_num[idx + 1],
                     kernel_size=(self.kernel_size, 2),
@@ -116,7 +124,7 @@ class DCCRN(nn.Module):
         skip_mult = 2 if c.skip_type else 1
         for idx in range(n_stage, 0, -1):
             decoder.append(
-                ComplexConvTranspose2d(
+                ConvTCls(
                     self.kernel_num[idx] * skip_mult,
                     self.kernel_num[idx - 1],
                     kernel_size=(self.kernel_size, 2),
