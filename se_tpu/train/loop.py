@@ -206,6 +206,9 @@ class Trainer:
 
         if epoch % 10 == 0 and last is not None:
             self.writer.log_wav(*last, epoch)
+            # image channels exist but are never invoked in the reference
+            # (write_on_tensorboard.py:338-386); here they are wired
+            self.writer.log_spectrogram(*last, epoch)
         out = {k: v / max(n, 1) for k, v in sums.items()}
         out["pesq"] = avg_pesq / max(n, 1)
         out["stoi"] = avg_stoi / max(n, 1)

@@ -1,0 +1,69 @@
+"""Full-size DCCRN training demo on the TPU chip.
+
+Trains the flagship model on synthetic noisy speech for a few hundred
+steps and reports PESQ/STOI of noisy vs enhanced on held-out data —
+an end-to-end smoke of the complete stack (train step, metrics, native
+PESQ) at production size.
+
+Run: python tools/train_demo_tpu.py [n_steps]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from se_tpu.config import Config
+    from se_tpu.train import create_train_state, make_train_step, make_eval_step
+    from se_tpu.eval.pesq_native import pesq
+    from se_tpu.eval.stoi import stoi
+    from tools.pesq_oracle_battery import speechlike
+
+    B, L = 40, 48000
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        clean = np.stack(
+            [0.4 * speechlike(r, n=L, f0=80 + 7 * (i % 20)) for i in range(B)]
+        )
+        noise = 0.06 * r.standard_normal((B, L))
+        return (clean + noise).astype(np.float32), clean.astype(np.float32)
+
+    cfg = Config(loss="SI-SNR")
+    model, state = create_train_state(cfg)
+    step = make_train_step(cfg, model)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for i in range(n_steps):
+        noisy, clean = make_batch(i % 32)
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, jnp.asarray(noisy), jnp.asarray(clean), sub)
+        if i % 50 == 0:
+            print(f"step {i}: loss {float(metrics['loss']):+.4f}", flush=True)
+    print(f"trained {n_steps} steps in {time.time() - t0:.1f}s")
+
+    noisy, clean = make_batch(999)
+    eval_step = make_eval_step(cfg, model)
+    _, enhanced = eval_step(state, jnp.asarray(noisy), jnp.asarray(clean))
+    enhanced = np.asarray(enhanced)
+
+    k = 8  # score a subset (PESQ is ~90 ms/utt on this 1-core host)
+    pesq_noisy = np.mean([pesq(clean[i], noisy[i]) for i in range(k)])
+    pesq_enh = np.mean([pesq(clean[i], enhanced[i]) for i in range(k)])
+    stoi_noisy = np.mean([stoi(clean[i], noisy[i], 16000) for i in range(k)])
+    stoi_enh = np.mean([stoi(clean[i], enhanced[i], 16000) for i in range(k)])
+    print(f"PESQ: noisy {pesq_noisy:.3f} -> enhanced {pesq_enh:.3f}")
+    print(f"STOI: noisy {stoi_noisy:.3f} -> enhanced {stoi_enh:.3f}")
+
+
+if __name__ == "__main__":
+    main()
