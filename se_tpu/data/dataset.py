@@ -10,7 +10,7 @@ reference runs ``num_workers=0`` synchronous loading (dataloader.py:17).
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

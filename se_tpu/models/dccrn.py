@@ -9,7 +9,7 @@ complex LSTM runs as a single stacked scan.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ from jax import lax
 
 from .dccrn import DCCRN
 from .layers import complex_cat
-from ..dsp import conv_stft, conv_istft
+from ..dsp import conv_istft
 
 
 class StreamingDCCRN(DCCRN):

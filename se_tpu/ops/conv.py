@@ -9,7 +9,7 @@ tile them onto the MXU; causal padding is applied by the caller.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ XLA-inserted psum for the gradient reduction.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

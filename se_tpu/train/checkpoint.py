@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

@@ -14,16 +14,14 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional
-
 import jax
 import numpy as np
 
 from ..config import Config
 from ..data import DataLoader, WaveDataset, prefetch_to_device
 from ..obs import Writer, Bar
-from .state import create_train_state, TrainState
-from .steps import make_train_step, make_eval_step, trainer_variant
+from .state import create_train_state
+from .steps import make_train_step, make_eval_step
 from .checkpoint import save_checkpoint, restore_checkpoint, copy_best_checkpoint
 
 

@@ -15,7 +15,6 @@ both models work; the DCCRN math is unchanged.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -24,7 +23,6 @@ import jax.numpy as jnp
 from ..config import Config
 from ..dsp import frame_stft, frame_istft, mag_phase
 from ..losses import main_loss, perceptual_loss
-from ..losses.core import sdr, si_snr, si_sdr, mse
 from ..ops.cirm import build_complex_ideal_ratio_mask, decompress_cIRM
 
 
