@@ -29,6 +29,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from se_tpu.config import Config
     from se_tpu.train import create_train_state, make_train_step
 

@@ -20,6 +20,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: retries after tunnel drops skip compilation
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     sys.path.insert(0, ".")
     from se_tpu.config import Config
     from se_tpu.train import create_train_state, make_train_step, make_eval_step
