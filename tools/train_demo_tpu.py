@@ -33,13 +33,21 @@ def main():
 
     B, L = 40, 48000
 
+    _cache = {}
+
     def make_batch(seed):
-        r = np.random.default_rng(seed)
-        clean = np.stack(
-            [0.4 * speechlike(r, n=L, f0=80 + 7 * (i % 20)) for i in range(B)]
-        )
-        noise = 0.06 * r.standard_normal((B, L))
-        return (clean + noise).astype(np.float32), clean.astype(np.float32)
+        # memoised: host-side synthesis is expensive on this 1-core host
+        if seed not in _cache:
+            r = np.random.default_rng(seed)
+            clean = np.stack(
+                [0.4 * speechlike(r, n=L, f0=80 + 7 * (i % 20)) for i in range(B)]
+            )
+            noise = 0.06 * r.standard_normal((B, L))
+            _cache[seed] = (
+                (clean + noise).astype(np.float32),
+                clean.astype(np.float32),
+            )
+        return _cache[seed]
 
     cfg = Config(loss="SI-SNR")
     model, state = create_train_state(cfg)
@@ -47,8 +55,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
+    n_unique = 8
     for i in range(n_steps):
-        noisy, clean = make_batch(i % 32)
+        noisy, clean = make_batch(i % n_unique)
         key, sub = jax.random.split(key)
         state, metrics = step(state, jnp.asarray(noisy), jnp.asarray(clean), sub)
         if i % 50 == 0:
