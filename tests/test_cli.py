@@ -41,6 +41,29 @@ def test_train_interface_cli(tmp_path):
     run_dir = tmp_path / "models" / runs[0]
     assert (run_dir / "chkpt_opt").exists()
 
+    # enhance.py consumes the trained checkpoint (full-size CRN default
+    # config differs from the tiny training config, so rebuild tiny here
+    # by invoking the module path directly)
+    from se_tpu.config import Config
+    from se_tpu.data.synth import write_wav, read_wav
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import restore_checkpoint
+
+    cfg = Config(model="CRN", lstm="real", loss="MSE")
+    model, state = create_train_state(cfg)
+    state, _ = restore_checkpoint(str(run_dir / "chkpt_opt"), state)
+    wav_in = tmp_path / "noisy.wav"
+    write_wav(str(wav_in), valid[0, 0].astype(np.float64), 16000)
+    wav, _ = read_wav(str(wav_in))
+    import jax.numpy as jnp
+
+    out_wav = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(wav.astype(np.float32))[None],
+        train=False,
+    )[-1]
+    assert np.isfinite(np.asarray(out_wav)).all()
+
 
 def test_synth_cli(tmp_path):
     from se_tpu.data.synth import write_wav, generate_corpus
