@@ -83,3 +83,24 @@ def test_resume_continues_from_checkpoint(tmp_path):
     mse = t2.run()
     assert os.path.exists(os.path.join(t2.dir_to_save, "chkpt_3"))
     assert np.all(mse != 0)
+
+
+def test_fullsubnet_loop_end_to_end(tmp_path):
+    """FullSubNet through the full orchestration: dropout rngs, cIRM eval
+    decode to waveforms, checkpointing."""
+    rng = np.random.default_rng(1)
+    train_data = rng.standard_normal((4, 2, 16000)).astype(np.float32) * 0.05
+    valid_data = rng.standard_normal((2, 2, 16000)).astype(np.float32) * 0.05
+    cfg = small_cfg(model="FullSubNet", loss="MSE").replace(
+        train=TrainConfig(
+            max_epochs=1,
+            batch=2,
+            job_dir=str(tmp_path / "models") + "/",
+            logs_dir=str(tmp_path / "logs") + "/",
+        )
+    )
+    t = Trainer(cfg, train_data, valid_data, score_fn=_fake_scores)
+    t.setup()
+    mse = t.run()
+    assert np.isfinite(mse[0]) and mse[0] != 0
+    assert os.path.exists(os.path.join(t.dir_to_save, "chkpt_opt"))
