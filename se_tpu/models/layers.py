@@ -318,7 +318,9 @@ class TorchLSTM(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, state=None,
+                 return_state: bool = False):
+        finals = []
         for layer in range(self.num_layers):
             in_size = self.input_size if layer == 0 else self.hidden_size
             params = rnn_ops.LstmParams(
@@ -343,9 +345,15 @@ class TorchLSTM(nn.Module):
                     (4 * self.hidden_size,),
                 ),
             )
-            x, _ = rnn_ops.lstm(params, x)
+            h0 = c0 = None
+            if state is not None:
+                h0, c0 = state[layer]
+            x, final = rnn_ops.lstm(params, x, h0, c0)
+            finals.append(final)
             if train and self.dropout > 0 and layer < self.num_layers - 1:
                 x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
+        if return_state:
+            return x, finals
         return x
 
 

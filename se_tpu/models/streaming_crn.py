@@ -1,0 +1,183 @@
+"""Streaming (frame-by-frame) CRN inference.
+
+The real-valued counterpart of ``StreamingDCCRN`` (see
+se_tpu/models/streaming.py for the pipeline design): causal encoder conv
+caches, LSTM hidden state, decoder pending-frame caches (one-frame latency
+per stage from the reference's first-output trim, models.py:494), skip
+delay queues, a spectrum queue for magnitude masking with the noisy phase,
+and a sample tail for stateful STFT framing.
+
+Shares the parameter tree of ``CRN``; checkpoints stream unchanged.
+Interior frames match the batch forward exactly (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .crn import CRN
+from ..dsp import conv_istft
+
+
+class StreamingCRN(CRN):
+    """Frame-streaming forward; parameters identical to CRN."""
+
+    @property
+    def n_stages(self) -> int:
+        return len(self.kernel_num) - 1
+
+    def init_stream_state(self, batch: int):
+        c = self.cfg
+        n_stage = self.n_stages
+        F = self.fft_len // 2  # after DC drop
+
+        enc_freqs = []
+        f = F
+        for _ in range(n_stage):
+            enc_freqs.append(f)
+            f //= 2
+        enc_prev = [
+            jnp.zeros((batch, self.kernel_num[i] // 2, enc_freqs[i], 1))
+            for i in range(n_stage)
+        ]
+        dec_prev = []
+        f = self.fft_len // (2 ** len(self.kernel_num))
+        for i in range(n_stage):
+            ch = self.kernel_num[n_stage - i]
+            if not c.skip_type:
+                ch //= 2
+            dec_prev.append(jnp.zeros((batch, ch, f, 1)))
+            f *= 2
+        skip_buf = []
+        for i in range(n_stage):
+            fi = enc_freqs[n_stage - 1 - i] // 2
+            skip_buf.append(
+                jnp.zeros(
+                    (batch, self.kernel_num[n_stage - i] // 2, fi, max(i, 1))
+                )
+            )
+        spec_buf = jnp.zeros((batch, self.fft_len + 2, n_stage + 1))
+        units = c.crn.rnn_units // 2
+        lstm_state = [
+            (jnp.zeros((batch, units)), jnp.zeros((batch, units)))
+        ]
+        tail = jnp.zeros((batch, self.win_len - self.win_inc))
+        return {
+            "enc_prev": enc_prev,
+            "dec_prev": dec_prev,
+            "skip_buf": skip_buf,
+            "spec_buf": spec_buf,
+            "lstm": tuple(lstm_state),
+            "tail": tail,
+        }
+
+    def __call__(self, inputs: jnp.ndarray, state: Optional[dict] = None):
+        """[B, L] waveform chunk -> ([B, fft_len+2, T] enhanced spectrum
+        frames (n_stages-frame latency), new state)."""
+        c = self.cfg
+        n_stage = self.n_stages
+        B = inputs.shape[0]
+        if state is None:
+            state = self.init_stream_state(B)
+
+        from ..dsp.stft import _frame
+
+        sig = jnp.concatenate([state["tail"], inputs], axis=-1)
+        frames = _frame(sig, self.win_len, self.win_inc)
+        specs = jnp.einsum(
+            "btn,nf->bft", frames, self.stft_kernels.fwd,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        tail = sig[:, -(self.win_len - self.win_inc):]
+        dim = self.fft_len // 2 + 1
+
+        def step(st, spec_t):
+            real = spec_t[:, :dim]
+            imag = spec_t[:, dim:]
+            mags_t = jnp.sqrt(real**2 + imag**2)
+            x = mags_t[:, None, 1:, None]  # [B, 1, F, 1]
+
+            enc_prev = list(st["enc_prev"])
+            out = x
+            skips = []
+            for i, (conv, bn, act) in enumerate(
+                zip(self.encoder, self.encoder_bn, self.encoder_act)
+            ):
+                inp2 = jnp.concatenate([enc_prev[i], out], axis=-1)
+                enc_prev[i] = out
+                y = conv(inp2)[..., -1:]
+                y = act(bn(y, train=False))
+                out = y
+                skips.append(y)
+
+            Bc, C, D, _ = out.shape
+            xr = out[:, :, :, 0].reshape(Bc, C * D)[None]  # [1, B, CD]
+            lstm_states = list(st["lstm"])
+            xr, lstm_states = self.enhance_lstm(
+                xr, state=lstm_states, return_state=True
+            )
+            xr = self.tranform(xr)
+            cur = xr[0].reshape(Bc, C, D, 1)
+
+            dec_prev = list(st["dec_prev"])
+            skip_buf = list(st["skip_buf"])
+            for i in range(n_stage):
+                skip = skips[n_stage - 1 - i]
+                if i == 0:
+                    delayed_skip = skip
+                else:
+                    delayed_skip = skip_buf[i][..., 0:1]
+                    skip_buf[i] = jnp.concatenate(
+                        [skip_buf[i][..., 1:], skip], axis=-1
+                    )
+                d_in = (
+                    jnp.concatenate([cur, delayed_skip], axis=1)
+                    if c.skip_type
+                    else cur
+                )
+                inp2 = jnp.concatenate([dec_prev[i], d_in], axis=-1)
+                dec_prev[i] = d_in
+                y = self.decoder[i](inp2)[..., 1:2]
+                if self.decoder_bn[i] is not None:
+                    y = self.decoder_act[i](self.decoder_bn[i](y, train=False))
+                cur = y
+
+            spec_buf = jnp.concatenate(
+                [st["spec_buf"][..., 1:], spec_t[..., None]], axis=-1
+            )
+            old_spec = spec_buf[..., 0]
+            o_real = old_spec[:, :dim]
+            o_imag = old_spec[:, dim:]
+            mags = jnp.sqrt(o_real**2 + o_imag**2)
+            phase = jnp.arctan2(o_imag, o_real)
+
+            out_mag = jnp.pad(cur[:, 0, :, 0], ((0, 0), (1, 0)))
+            mask_mags = jnp.tanh(out_mag)
+            est_mags = mask_mags * mags
+            out_real = est_mags * jnp.cos(phase)
+            out_imag = est_mags * jnp.sin(phase)
+            out_spec = jnp.concatenate([out_real, out_imag], axis=1)
+
+            new_st = {
+                "enc_prev": enc_prev,
+                "dec_prev": dec_prev,
+                "skip_buf": skip_buf,
+                "spec_buf": spec_buf,
+                "lstm": tuple(lstm_states),
+            }
+            return new_st, out_spec
+
+        scan_state = {k: v for k, v in state.items() if k != "tail"}
+        scan_state, out_specs = lax.scan(
+            step, scan_state, jnp.moveaxis(specs, -1, 0)
+        )
+        out_specs = jnp.moveaxis(out_specs, 0, -1)
+        return out_specs, dict(scan_state, tail=tail)
+
+    def synthesize(self, out_specs: jnp.ndarray) -> jnp.ndarray:
+        wav = conv_istft(out_specs, self.stft_kernels)[:, 0]
+        return jnp.clip(wav, -1.0, 1.0)

@@ -90,3 +90,36 @@ def test_streaming_synthesize_shape():
     hop, win = cfg.stft.win_inc, cfg.stft.win_len
     assert wav.shape == (1, (T - 1) * hop + win - 2 * (win - hop))
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_streaming_crn_matches_batch_interior():
+    from se_tpu.models.streaming_crn import StreamingCRN
+
+    cfg = small_cfg(model="CRN", lstm="real", masking_mode="E")
+    batch_model = build_model(cfg)
+    variables = init_model(cfg, batch_model, batch=2, seconds=1)
+    stream_model = StreamingCRN(cfg)
+
+    noisy, clean = example_batch(cfg, batch=2, seconds=1)
+    est_mags, _, _ = batch_model.apply(variables, noisy, clean, train=False)
+    # reconstruct the batch out_spec from est_mags and the noisy phase
+    from se_tpu.dsp import conv_stft_mag_phase
+
+    bound = stream_model.bind(variables)
+    mags, phase = conv_stft_mag_phase(noisy, bound.stft_kernels)
+    batch_spec = np.concatenate(
+        [
+            np.asarray(est_mags) * np.cos(np.asarray(phase)),
+            np.asarray(est_mags) * np.sin(np.asarray(phase)),
+        ],
+        axis=1,
+    )
+
+    stream_spec, _ = stream_model.apply(variables, noisy)
+    stream_spec = np.asarray(stream_spec)
+
+    n = bound.n_stages
+    T = stream_spec.shape[-1]
+    got = stream_spec[..., n:T]
+    want = batch_spec[..., : T - n]
+    np.testing.assert_allclose(got, want, atol=2e-4)
