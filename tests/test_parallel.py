@@ -68,3 +68,21 @@ def test_dp_multiple_steps_keep_state_replicated():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_dp_fullsubnet_train_and_eval():
+    """FullSubNet under the mesh: dropout rngs + cIRM decode with sharded
+    batches."""
+    cfg = small_cfg(model="FullSubNet", loss="MSE")
+    model, state = create_train_state(cfg)
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    noisy, clean = _batch(cfg, batch=8)
+    noisy_s, clean_s = shard_batch(mesh, noisy, clean)
+    pstep = make_parallel_train_step(cfg, model, mesh)
+    state, metrics = pstep(state, noisy_s, clean_s, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    estep = make_parallel_eval_step(cfg, model, mesh)
+    metrics, outputs = estep(state, noisy_s, clean_s)
+    assert outputs.shape == (8, noisy.shape[-1])
+    assert np.isfinite(np.asarray(outputs)).all()
