@@ -92,3 +92,30 @@ def test_cal_snr_reference_formula(rng):
         + 1e-8
     )
     np.testing.assert_allclose(val, expect, atol=0.3)
+
+
+def test_check_object_metrics_cli(tmp_path, rng):
+    """Offline checker end-to-end: wav pair -> PESQ/STOI/CSIG/CBAK/COVL."""
+    from se_tpu.data.synth import write_wav
+    from se_tpu.eval.check_object_metrics import check_pair, check_dirs
+
+    clean = _speechlike(rng)
+    enhanced = clean + 0.01 * rng.standard_normal(len(clean))
+    cp = str(tmp_path / "target_x.wav")
+    ep = str(tmp_path / "estimated_x.wav")
+    write_wav(cp, clean, 16000)
+    write_wav(ep, enhanced, 16000)
+
+    pesq_s, stoi_s, csig, cbak, covl, ssnr = check_pair(cp, ep)
+    assert 1.0 <= pesq_s <= 4.7
+    assert 0.0 < stoi_s <= 1.0
+    assert 1.0 <= cbak  # can exceed 5 (reference PESQ re-add quirk)
+    assert np.isfinite([csig, covl, ssnr]).all()
+
+    # directory mode with target->estimated name matching
+    tdir, edir = tmp_path / "targets", tmp_path / "estimates"
+    tdir.mkdir(), edir.mkdir()
+    write_wav(str(tdir / "target_a.wav"), clean, 16000)
+    write_wav(str(edir / "estimated_a.wav"), enhanced, 16000)
+    results = check_dirs(str(tdir), str(edir))
+    assert len(results) == 1
