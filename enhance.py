@@ -66,8 +66,8 @@ def main():
             out = model.apply(variables, wav[None], train=False)
             return np.asarray(out[-1])[0]
 
-    enhance = jax.jit(enhance) if False else enhance  # shapes vary per file
-
+    # Not jitted: wav lengths vary per file, so each file would trigger a
+    # fresh trace/compile; eager apply amortises better for one-off CLI use.
     for path in args.wavs:
         wav, fs = read_wav(path, cfg.stft.fs)
         y = enhance(jnp.asarray(wav.astype(np.float32)))

@@ -144,6 +144,19 @@ class ParallelConfig:
 
 
 @dataclass(frozen=True)
+class ObsConfig:
+    """Observability knobs.
+
+    The reference hard-codes a 10-epoch audio-logging cadence
+    (trainer.py:232-233) and never wires its spectrogram/mask image
+    channels (write_on_tensorboard.py:338-386); here both ride the same
+    configurable cadence.
+    """
+
+    log_media_every: int = 10  # epochs between audio + image logging
+
+
+@dataclass(frozen=True)
 class Config:
     """Top-level config. Equivalent surface to the reference's config.py."""
 
@@ -161,6 +174,7 @@ class Config:
     fullsubnet: FullSubNetConfig = field(default_factory=FullSubNetConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    obs: ObsConfig = field(default_factory=ObsConfig)
 
     # Numerics: params/activations dtype for the network compute path.
     # f32 default matches the reference; bf16 is the TPU-native fast path.

@@ -23,10 +23,18 @@ from . import pesq_native
 def run_pesq_waveforms(dirty_wav: np.ndarray, clean_wav: np.ndarray,
                        fs: int = 16000) -> float:
     """PESQ MOS-LQO of a degraded waveform vs its clean reference
-    (reference: tools_for_estimate.py:68-75)."""
-    return pesq_native.pesq(
-        np.asarray(clean_wav, np.float64), np.asarray(dirty_wav, np.float64), fs
-    )
+    (reference: tools_for_estimate.py:68-75).
+
+    Dispatches to the native C++ library when available, else to the
+    numpy P.862 spec (identical scores, ~60x slower) — never zeros.
+    """
+    clean = np.asarray(clean_wav, np.float64)
+    dirty = np.asarray(dirty_wav, np.float64)
+    if pesq_native.available():
+        return pesq_native.pesq(clean, dirty, fs)
+    from .pesq_np import pesq_np
+
+    return pesq_np(clean, dirty, fs)
 
 
 def _pesq_one(args):

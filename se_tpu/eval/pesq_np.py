@@ -506,3 +506,11 @@ def pesq_wb_np(clean: np.ndarray, degraded: np.ndarray) -> float:
     frame_delays = np.full(n_frames, delay, dtype=int)
     raw = psychoacoustic_model(ref, deg, n, frame_delays)
     return float(_wb_mos_mapping(raw))
+
+
+def pesq_np(clean: np.ndarray, degraded: np.ndarray, fs: int = 16000) -> float:
+    """fs-dispatching entry matching the reference front-end's nb/wb split
+    (reference: tools_for_estimate.py:40-45)."""
+    if fs == 16000:
+        return pesq_wb_np(clean, degraded)
+    raise NotImplementedError(f"PESQ model for fs={fs} not implemented")

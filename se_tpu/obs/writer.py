@@ -1,10 +1,12 @@
 """Tensorboard writer (reference: write_on_tensorboard.py:13-386).
 
-Scalars (train/val loss, sub-losses, PESQ/STOI), audio triplets every 10
-epochs, and the spectrogram/mask image channels.  Unlike the reference —
-where ``log_spectrogram``/``log_mask_spectrogram`` exist but are never
-called (write_on_tensorboard.py:338-386) — the image channels here are
-wired into the validation loop behind a config switch.
+Scalars (train/val loss, sub-losses, PESQ/STOI), periodic audio triplets,
+and the spectrogram/mask image channels.  Unlike the reference — where
+``log_spectrogram``/``log_mask_spectrogram`` exist but are never called
+(write_on_tensorboard.py:338-386) — the image channels here are wired into
+the validation loop on the ``Config.obs.log_media_every`` epoch cadence
+(default 10, matching the reference's hard-coded audio cadence,
+trainer.py:232-233).
 """
 
 from __future__ import annotations

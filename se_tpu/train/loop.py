@@ -54,6 +54,7 @@ class Trainer:
         )
         self.use_mesh = use_mesh
         self.score_fn = score_fn  # overridable scoring (tests inject fakes)
+        self._warned_pesq_fallback = False
 
     # -- setup -----------------------------------------------------------
     def setup(self):
@@ -173,10 +174,18 @@ class Trainer:
 
         workers = self.cfg.parallel.eval_workers or os.cpu_count()
         stoi_scores = cal_stoi(est, clean, self.cfg.stft.fs, workers=workers)
-        if pesq_native.available():
-            pesq_scores = cal_pesq(est, clean, self.cfg.stft.fs, workers=workers)
-        else:
-            pesq_scores = [0.0] * len(est)
+        if not pesq_native.available() and not self._warned_pesq_fallback:
+            import warnings
+
+            warnings.warn(
+                "native PESQ library unavailable; falling back to the "
+                "numpy P.862 spec (se_tpu/eval/pesq_np.py) — identical "
+                "scores, ~60x slower",
+                stacklevel=2,
+            )
+            self._warned_pesq_fallback = True
+        # cal_pesq itself dispatches native -> numpy spec; never zeros.
+        pesq_scores = cal_pesq(est, clean, self.cfg.stft.fs, workers=workers)
         return pesq_scores, stoi_scores
 
     def validate_epoch(self, epoch: int) -> dict:
@@ -202,7 +211,8 @@ class Trainer:
                 avg_stoi += sum(stoi_s) / len(est)
                 last = (np.asarray(jax.device_get(noisy))[0], cln[0], est[0])
 
-        if epoch % 10 == 0 and last is not None:
+        every = cfg.obs.log_media_every
+        if every > 0 and epoch % every == 0 and last is not None:
             self.writer.log_wav(*last, epoch)
             # image channels exist but are never invoked in the reference
             # (write_on_tensorboard.py:338-386); here they are wired

@@ -119,3 +119,18 @@ def test_check_object_metrics_cli(tmp_path, rng):
     write_wav(str(edir / "estimated_a.wav"), enhanced, 16000)
     results = check_dirs(str(tdir), str(edir))
     assert len(results) == 1
+
+
+def test_pesq_fallback_when_native_unavailable(rng, monkeypatch):
+    """Without the native library, cal_pesq must return numpy-spec scores,
+    never silent zeros (round-1 regression: train/loop.py wrote 0.0)."""
+    from se_tpu.eval import metrics, pesq_native
+    from se_tpu.eval.pesq_np import pesq_np
+
+    x = _speechlike(rng, n=16000)
+    noisy = x + 0.05 * rng.standard_normal(len(x))
+
+    monkeypatch.setattr(pesq_native, "available", lambda: False)
+    scores = metrics.cal_pesq([noisy], [x], 16000, workers=1)
+    assert scores[0] != 0.0
+    assert scores[0] == pytest.approx(pesq_np(x, noisy, 16000), abs=1e-9)
