@@ -366,7 +366,9 @@ class TorchGRU(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, state=None,
+                 return_state: bool = False):
+        finals = []
         for layer in range(self.num_layers):
             in_size = self.input_size if layer == 0 else self.hidden_size
             params = rnn_ops.LstmParams(
@@ -391,9 +393,13 @@ class TorchGRU(nn.Module):
                     (3 * self.hidden_size,),
                 ),
             )
-            x, _ = rnn_ops.gru(params, x)
+            h0 = state[layer] if state is not None else None
+            x, final = rnn_ops.gru(params, x, h0)
+            finals.append(final)
             if train and self.dropout > 0 and layer < self.num_layers - 1:
                 x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
+        if return_state:
+            return x, finals
         return x
 
 
@@ -478,7 +484,8 @@ class SequenceModel(nn.Module):
     dropout: float = 0.8
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, state=None,
+                 return_state: bool = False):
         assert x.ndim == 3
         x = jnp.transpose(x, (2, 0, 1))  # [B, F, T] -> [T, B, F]
         if self.sequence_model == "LSTM":
@@ -488,7 +495,7 @@ class SequenceModel(nn.Module):
                 self.num_layers,
                 self.dropout,
                 name="sequence_model",
-            )(x, train=train)
+            )(x, train=train, state=state, return_state=return_state)
         elif self.sequence_model == "GRU":
             o = TorchGRU(
                 self.input_size,
@@ -496,9 +503,11 @@ class SequenceModel(nn.Module):
                 self.num_layers,
                 self.dropout,
                 name="sequence_model",
-            )(x, train=train)
+            )(x, train=train, state=state, return_state=return_state)
         else:
             raise NotImplementedError(f"Not implemented {self.sequence_model}")
+        if return_state:
+            o, final_state = o
         o = TorchLinear(self.output_size, name="fc_output_layer")(o)
         if self.output_activate_function:
             if self.output_activate_function == "Tanh":
@@ -512,4 +521,7 @@ class SequenceModel(nn.Module):
                     f"Not implemented activation function "
                     f"{self.output_activate_function}"
                 )
-        return jnp.transpose(o, (1, 2, 0))  # [T, B, F] -> [B, F, T]
+        o = jnp.transpose(o, (1, 2, 0))  # [T, B, F] -> [B, F, T]
+        if return_state:
+            return o, final_state
+        return o

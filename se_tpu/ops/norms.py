@@ -248,6 +248,66 @@ def hybrid_norm(x: jnp.ndarray, sample_length: int = 192) -> jnp.ndarray:
     return x / (mu[:, None, :] + 1e-10)
 
 
+# -- carried (chunk-streaming) variants of the cumulative norms ------------
+#
+# The cumulative norms are causal prefix statistics, so a stream can process
+# whole chunks at a time carrying only (running sums, entry count); the
+# result is bit-equivalent to the batch cumsum over the concatenated chunks.
+
+def init_cumulative_carry(n_rows: int, with_pow: bool):
+    """Fresh carry for ``B*C`` rows: (sum, [pow_sum,] entry_count)."""
+    zeros = jnp.zeros((n_rows,), jnp.float32)
+    if with_pow:
+        return (zeros, zeros, jnp.zeros((), jnp.float32))
+    return (zeros, jnp.zeros((), jnp.float32))
+
+
+def cumulative_laplace_norm_carry(x: jnp.ndarray, carry):
+    """Chunk of [B, C, F, T] + carry -> (normed, new_carry)."""
+    B, C, F, T = x.shape
+    xr = x.reshape(B * C, F, T)
+    step_sum = jnp.sum(xr, axis=1)  # [BC, T]
+    prev_sum, prev_count = carry
+    cum_sum = prev_sum[:, None] + jnp.cumsum(step_sum, axis=-1)
+    entry_count = prev_count + jnp.arange(F, F * T + 1, F, dtype=x.dtype)[None, :]
+    cum_mean = (cum_sum / entry_count)[:, None, :]
+    y = (xr / (cum_mean + EPSILON)).reshape(B, C, F, T)
+    return y, (cum_sum[:, -1], prev_count + F * T)
+
+
+def cumulative_layer_norm_carry(x: jnp.ndarray, carry):
+    """Chunk of [B, C, F, T] + carry -> (normed, new_carry)."""
+    B, C, F, T = x.shape
+    xr = x.reshape(B * C, F, T)
+    step_sum = jnp.sum(xr, axis=1)
+    step_pow = jnp.sum(jnp.square(xr), axis=1)
+    prev_sum, prev_pow, prev_count = carry
+    cum_sum = prev_sum[:, None] + jnp.cumsum(step_sum, axis=-1)
+    cum_pow = prev_pow[:, None] + jnp.cumsum(step_pow, axis=-1)
+    entry_count = prev_count + jnp.arange(F, F * T + 1, F, dtype=x.dtype)[None, :]
+    cum_mean = cum_sum / entry_count
+    cum_var = (cum_pow - 2 * cum_mean * cum_sum) / entry_count + cum_mean**2
+    cum_std = jnp.sqrt(cum_var + EPSILON)
+    y = (xr - cum_mean[:, None, :]) / cum_std[:, None, :]
+    return (
+        y.reshape(B, C, F, T),
+        (cum_sum[:, -1], cum_pow[:, -1], prev_count + F * T),
+    )
+
+
+def stream_norm_wrapper(norm_type: str):
+    """(norm_fn(x, carry) -> (y, carry), init_fn(n_rows) -> carry) for the
+    streaming-capable norms; raises for the offline (utterance-level) ones,
+    which have no causal form (reference: tools_for_model.py:997-1061)."""
+    if norm_type == "cumulative_laplace_norm":
+        return cumulative_laplace_norm_carry, lambda n: init_cumulative_carry(n, False)
+    if norm_type == "cumulative_layer_norm":
+        return cumulative_layer_norm_carry, lambda n: init_cumulative_carry(n, True)
+    raise NotImplementedError(
+        f"streaming requires a cumulative norm, got {norm_type!r}"
+    )
+
+
 def norm_wrapper(norm_type: str):
     """Select a norm by name (reference: tools_for_model.py:1106-1118)."""
     table = {

@@ -1,0 +1,183 @@
+"""Microbenchmark of DCCRN encoder-conv formulations on the current device.
+
+Times each encoder stage shape (B=40, T=481) under several layouts/dtypes
+to pick the MXU-friendliest realisation of the complex conv
+(reference hot loop: models.py:193-198).  Usage:
+
+    python tools/perf_probe.py [conv|step|lstm]
+
+Timing uses a scalar float() fetch (block_until_ready is unreliable on the
+tunnelled axon platform).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+B = 40
+T = 481
+# (ci_part, co_part, F_in): per-part real channels per encoder stage
+STAGES = [
+    (1, 16, 256),
+    (16, 32, 128),
+    (32, 64, 64),
+    (64, 128, 32),
+    (128, 128, 16),
+    (128, 128, 8),
+]
+KH, KW = 5, 2  # (freq, time), stride (2, 1), pad (2, causal-1)
+
+
+def timeit(fn, *args, iters=20):
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf))
+
+
+def flops_stage(ci, co, f_in):
+    # complex conv = 4 real convs: 2 * (2B * co*... ) MACs*2
+    f_out = f_in // 2
+    return 4 * B * f_out * T * co * ci * KH * KW * 2
+
+
+# -- formulations ------------------------------------------------------------
+
+def doubled_batch(z, w, dtype):
+    """Current: [2B, ci, F, T+1] conv [2co, ci, 5, 2]."""
+    z = z.astype(dtype)
+    w = w.astype(dtype)
+    dn = lax.conv_dimension_numbers(z.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
+    return lax.conv_general_dilated(
+        z, w, (2, 1), [(2, 2), (0, 0)], dimension_numbers=dn
+    )
+
+
+def block_matrix(x, wb, dtype):
+    """[B, 2ci, F, T+1] conv [2co, 2ci, 5, 2] with the complex block kernel."""
+    x = x.astype(dtype)
+    wb = wb.astype(dtype)
+    dn = lax.conv_dimension_numbers(x.shape, wb.shape, ("NCHW", "OIHW", "NCHW"))
+    return lax.conv_general_dilated(
+        x, wb, (2, 1), [(2, 2), (0, 0)], dimension_numbers=dn
+    )
+
+
+def block_matrix_nhwc(x, wb, dtype):
+    """Channels-last: [B, F, T+1, 2ci] conv [5, 2, 2ci, 2co]."""
+    x = x.astype(dtype)
+    wb = wb.astype(dtype)
+    dn = lax.conv_dimension_numbers(x.shape, wb.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x, wb, (2, 1), [(2, 2), (0, 0)], dimension_numbers=dn
+    )
+
+
+def im2col_dot(x, wmat, ci2, dtype):
+    """Explicit patches + one dot: [B,F,T+1,2ci] -> [B,F/2,T,K] @ [K,2co]."""
+    x = x.astype(dtype)
+    wmat = wmat.astype(dtype)
+    xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    taps = []
+    f_out = x.shape[1] // 2
+    for kf in range(KH):
+        for kt in range(KW):
+            taps.append(
+                lax.slice(
+                    xp,
+                    (0, kf, kt, 0),
+                    (B, kf + 2 * f_out, kt + x.shape[2] - 1, ci2),
+                    (1, 2, 1, 1),
+                )
+            )
+    patches = jnp.concatenate(taps, axis=-1)  # [B, F/2, T, 10*2ci]
+    return jnp.dot(patches, wmat, preferred_element_type=jnp.float32)
+
+
+def run_conv_bench():
+    rng = np.random.default_rng(0)
+    total = {}
+    for name in ("dbatch_f32", "dbatch_bf16", "block_f32", "block_bf16",
+                 "nhwc_bf16", "nhwc_f32", "im2col_bf16"):
+        total[name] = [0.0, 0.0]  # fwd, fwd+bwd
+    print(f"B={B} T={T} kernel=({KH},{KW}) stride=(2,1)")
+    for si, (ci, co, f_in) in enumerate(STAGES):
+        gf = flops_stage(ci, co, f_in) / 1e9
+        z = jnp.asarray(rng.standard_normal((2 * B, ci, f_in, T + 1)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((2 * co, ci, KH, KW)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((B, 2 * ci, f_in, T + 1)), jnp.float32)
+        wb = jnp.asarray(rng.standard_normal((2 * co, 2 * ci, KH, KW)), jnp.float32)
+        xn = jnp.asarray(
+            rng.standard_normal((B, f_in, T + 1, 2 * ci)), jnp.float32
+        )
+        wn = jnp.asarray(rng.standard_normal((KH, KW, 2 * ci, 2 * co)), jnp.float32)
+        wm = jnp.asarray(
+            rng.standard_normal((KH * KW * 2 * ci, 2 * co)), jnp.float32
+        )
+
+        cases = {
+            "dbatch_f32": (doubled_batch, (z, w, jnp.float32)),
+            "dbatch_bf16": (doubled_batch, (z, w, jnp.bfloat16)),
+            "block_f32": (block_matrix, (x, wb, jnp.float32)),
+            "block_bf16": (block_matrix, (x, wb, jnp.bfloat16)),
+            "nhwc_f32": (block_matrix_nhwc, (xn, wn, jnp.float32)),
+            "nhwc_bf16": (block_matrix_nhwc, (xn, wn, jnp.bfloat16)),
+            "im2col_bf16": (im2col_dot, (xn, wm, 2 * ci, jnp.bfloat16)),
+        }
+        print(f"stage {si}: ci={ci} co={co} F={f_in} ({gf:.1f} GFLOP)")
+        for name, (fn, args) in cases.items():
+            static = args[2:]
+            jfn = jax.jit(lambda a, b, fn=fn, static=static: fn(a, b, *static))
+            grad = jax.jit(
+                lambda a, b, fn=fn, static=static: jax.grad(
+                    lambda a_, b_: jnp.sum(
+                        fn(a_, b_, *static).astype(jnp.float32) ** 2
+                    ),
+                    argnums=(0, 1),
+                )(a, b)
+            )
+            try:
+                t_f = timeit(jfn, *args[:2])
+                t_b = timeit(grad, *args[:2])
+            except Exception as e:
+                print(f"  {name:12s} FAILED: {type(e).__name__}")
+                continue
+            total[name][0] += t_f
+            total[name][1] += t_b
+            print(
+                f"  {name:12s} fwd {t_f*1e3:7.2f} ms ({gf/t_f/1e3:6.2f} TF/s)"
+                f"   fwd+bwd {t_b*1e3:7.2f} ms ({3*gf/t_b/1e3:6.2f} TF/s)"
+            )
+    gsum = sum(flops_stage(*s) for s in STAGES) / 1e9
+    print(f"\ntotals over all stages ({gsum:.1f} GFLOP fwd):")
+    for name, (tf, tb) in total.items():
+        if tf:
+            print(
+                f"  {name:12s} fwd {tf*1e3:7.2f} ms ({gsum/tf/1e3:6.2f} TF/s)"
+                f"   fwd+bwd {tb*1e3:7.2f} ms ({3*gsum/tb/1e3:6.2f} TF/s)"
+            )
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "conv"
+    print("devices:", jax.devices())
+    if mode == "conv":
+        run_conv_bench()
