@@ -184,8 +184,14 @@ class Config:
     # convs (se_tpu/ops/pallas_conv.py). Off by default.
     use_pallas_conv: bool = False
 
-    # Rematerialise the complex conv stages in the backward pass (trades
-    # recompute for HBM, unlocking larger per-chip batches).
+    # Complex-conv realisation: "block" = one conv with the real 2x2 block
+    # kernel [[wr, -wi], [wi, wr]] (full 2ci->2co channel counts, the
+    # MXU-friendly shape); "dbatch" = round-1 doubled-batch form.
+    conv_variant: str = "block"
+
+    # Rematerialise whole encoder/decoder stages (conv+BN+PReLU) in the
+    # backward pass — trades recompute for HBM, unlocking larger
+    # per-chip batches.
     remat_convs: bool = False
 
     def __post_init__(self):

@@ -46,14 +46,8 @@ class DCCRN(nn.Module):
         )
 
         n_stage = len(self.kernel_num) - 1
-        ConvCls = (
-            nn.remat(ComplexConv2d) if c.remat_convs else ComplexConv2d
-        )
-        ConvTCls = (
-            nn.remat(ComplexConvTranspose2d)
-            if c.remat_convs
-            else ComplexConvTranspose2d
-        )
+        ConvCls = ComplexConv2d
+        ConvTCls = ComplexConvTranspose2d
         encoder, enc_bn, enc_act = [], [], []
         for idx in range(n_stage):
             encoder.append(
@@ -64,6 +58,7 @@ class DCCRN(nn.Module):
                     stride=(2, 1),
                     padding=(2, 1),
                     use_pallas=c.use_pallas_conv,
+                    variant=c.conv_variant,
                     name=f"encoder_{idx}_conv",
                 )
             )
@@ -131,6 +126,7 @@ class DCCRN(nn.Module):
                     stride=(2, 1),
                     padding=(2, 0),
                     output_padding=(1, 0),
+                    variant=c.conv_variant,
                     name=f"decoder_{n_stage - idx}_conv",
                 )
             )
@@ -182,9 +178,18 @@ class DCCRN(nn.Module):
             jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         )
         out = cspecs.astype(compute_dtype)
+        remat = c.remat_convs and train
         encoder_out = []
-        for conv, bn, act in zip(self.encoder, self.encoder_bn, self.encoder_act):
-            out = act(bn(conv(out), train=train))
+        for i in range(len(self.encoder)):
+
+            def enc_stage(mdl, x, i=i):
+                return mdl.encoder_act[i](
+                    mdl.encoder_bn[i](mdl.encoder[i](x), train=train)
+                )
+
+            # full-stage remat: the backward recomputes conv+BN+PReLU from
+            # the stage input, so only stage boundaries stay resident
+            out = nn.remat(enc_stage)(self, out) if remat else enc_stage(self, out)
             encoder_out.append(out)
 
         B, C, D, T = out.shape
@@ -209,12 +214,16 @@ class DCCRN(nn.Module):
         for idx in range(n):
             if c.skip_type:
                 out = complex_cat([out, encoder_out[-1 - idx]], 1)
-            out = self.decoder[idx](out)
-            if self.decoder_bn[idx] is not None:
-                out = self.decoder_act[idx](
-                    self.decoder_bn[idx](out, train=train)
-                )
-            out = out[..., 1:]  # causal time trim per stage
+
+            def dec_stage(mdl, x, idx=idx):
+                y = mdl.decoder[idx](x)
+                if mdl.decoder_bn[idx] is not None:
+                    y = mdl.decoder_act[idx](
+                        mdl.decoder_bn[idx](y, train=train)
+                    )
+                return y[..., 1:]  # causal time trim per stage
+
+            out = nn.remat(dec_stage)(self, out) if remat else dec_stage(self, out)
         out = out.astype(jnp.float32)  # masking/iSTFT in full precision
 
         if self.masking_mode == "Direct(None make)":

@@ -199,10 +199,17 @@ class RealConvTranspose2d(nn.Module):
 
 
 class ComplexConv2d(nn.Module):
-    """Complex conv as ONE doubled-batch conv (reference: tools_for_model.py:199-269).
+    """Complex conv as ONE real conv (reference: tools_for_model.py:199-269).
 
     Channels are real-block||imag-block; `in_channels`/`out_channels` count
-    real+imag, as in the reference.
+    real+imag, as in the reference.  Two MXU realisations:
+
+    * ``variant="block"`` (default): the complex product as the real 2x2
+      block kernel ``[[wr, -wi], [wi, wr]]`` — one conv with full channel
+      counts (2ci -> 2co), the MXU-friendliest shape (measured fastest on
+      v5e for every stage, tools/perf_probe.py).
+    * ``variant="dbatch"``: the round-1 doubled-batch form ([2B, ci] conv
+      [2co, ci] then recombine).
     """
 
     in_channels: int
@@ -212,6 +219,7 @@ class ComplexConv2d(nn.Module):
     padding: Tuple[int, int] = (0, 0)
     causal: bool = True
     use_pallas: bool = False
+    variant: str = "block"
 
     @nn.compact
     def __call__(self, x):
@@ -247,6 +255,21 @@ class ComplexConv2d(nn.Module):
         else:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pw, pw)))
 
+        if self.variant == "block":
+            # [[wr, -wi], [wi, wr]] acting on [r; i] channels: output is
+            # already [real-block; imag-block] — no recombination needed
+            w = jnp.concatenate(
+                [
+                    jnp.concatenate([wr, -wi], axis=1),
+                    jnp.concatenate([wi, wr], axis=1),
+                ],
+                axis=0,
+            )  # [2co, 2ci, kh, kw]
+            bias = jnp.concatenate([br, bi])
+            return conv_ops.conv2d(
+                x, w, bias, stride=self.stride, padding=(ph, 0)
+            )
+
         r, i = x[:, :ci], x[:, ci:]
         z = jnp.concatenate([r, i], axis=0)  # [2B, ci, F, T]
         w = jnp.concatenate([wr, wi], axis=0)  # [2co, ci, kh, kw]
@@ -260,7 +283,9 @@ class ComplexConv2d(nn.Module):
 
 
 class ComplexConvTranspose2d(nn.Module):
-    """reference: tools_for_model.py:272-338, same doubled-batch trick."""
+    """reference: tools_for_model.py:272-338.  Same block-kernel /
+    doubled-batch choice as ComplexConv2d (torch transpose weight layout
+    [in, out, kh, kw], so the block sits on axes (0, 1))."""
 
     in_channels: int
     out_channels: int
@@ -268,6 +293,7 @@ class ComplexConvTranspose2d(nn.Module):
     stride: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int] = (0, 0)
     output_padding: Tuple[int, int] = (0, 0)
+    variant: str = "block"
 
     @nn.compact
     def __call__(self, x):
@@ -276,6 +302,26 @@ class ComplexConvTranspose2d(nn.Module):
         wi = self.param("imag_weight", _normal05, (ci, co, *self.kernel_size))
         br = self.param("real_bias", nn.initializers.zeros, (co,))
         bi = self.param("imag_bias", nn.initializers.zeros, (co,))
+
+        if self.variant == "block":
+            # input rows [r; i], output cols [real; imag]:
+            # real_out = r*wr - i*wi ; imag_out = r*wi + i*wr
+            w = jnp.concatenate(
+                [
+                    jnp.concatenate([wr, wi], axis=1),
+                    jnp.concatenate([-wi, wr], axis=1),
+                ],
+                axis=0,
+            )  # [2ci, 2co, kh, kw]
+            bias = jnp.concatenate([br, bi])
+            return conv_ops.conv_transpose2d(
+                x,
+                w,
+                bias,
+                stride=self.stride,
+                padding=self.padding,
+                output_padding=self.output_padding,
+            )
 
         B = x.shape[0]
         r, i = x[:, :ci], x[:, ci:]

@@ -81,6 +81,10 @@ def conv_transpose2d(
     b = b.astype(x.dtype) if b is not None else None
     kh, kw = w.shape[2], w.shape[3]
 
+    # NOTE (measured, v5e): decomposing the freq-stride-2 transpose conv
+    # into two stride-1 convs + row interleave is exact but SLOWER than the
+    # lhs-dilated form XLA emits (227 vs 186 ms/step at B=40) and triggers
+    # remote-compiler failures at B>=96 — keep the dilated form.
     w_t = jnp.flip(w, axis=(2, 3)).swapaxes(0, 1)  # [O, I, kh, kw]
     pads = []
     for k, p, op, d in zip(

@@ -176,8 +176,65 @@ def run_conv_bench():
             )
 
 
+def run_step_bench(batches=(40,), train=True, **cfg_kw):
+    """Time the real DCCRN train/eval step end-to-end at given batch sizes."""
+    from se_tpu.config import Config
+    from se_tpu.train import create_train_state, make_train_step
+    from se_tpu.train.steps import make_eval_step
+
+    cfg = Config(**cfg_kw)
+    model, state = create_train_state(cfg)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    L = cfg.stft.fs * 3
+    for B in batches:
+        noisy = jnp.asarray(
+            (rng.standard_normal((B, L)) * 0.1).astype(np.float32)
+        )
+        clean = jnp.asarray(
+            (rng.standard_normal((B, L)) * 0.1).astype(np.float32)
+        )
+        try:
+            if train:
+                step = make_train_step(cfg, model)
+                st, m = step(state, noisy, clean, key)
+                float(m["loss"])
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    st, m = step(st, noisy, clean, key)
+                float(m["loss"])
+                dt = (time.perf_counter() - t0) / 10
+            else:
+                estep = make_eval_step(cfg, model)
+                m, out = estep(state, noisy, clean)
+                float(m["loss"])
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    m, out = estep(state, noisy, clean)
+                float(m["loss"])
+                dt = (time.perf_counter() - t0) / 10
+        except Exception as e:
+            print(f"B={B}: FAILED {type(e).__name__}: {e}")
+            continue
+        print(
+            f"B={B}: {dt*1e3:7.1f} ms/step  {B/dt:7.1f} utt/s  cfg={cfg_kw}"
+        )
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "conv"
     print("devices:", jax.devices())
     if mode == "conv":
         run_conv_bench()
+    elif mode == "step":
+        kw = {}
+        for a in sys.argv[2:]:
+            k, v = a.split("=")
+            kw[k] = (
+                v == "True" if v in ("True", "False") else
+                int(v) if v.isdigit() else v
+            )
+        batches = kw.pop("B", 40)
+        batches = (batches,) if isinstance(batches, int) else batches
+        train = kw.pop("train", True)
+        run_step_bench(batches, train, **kw)
