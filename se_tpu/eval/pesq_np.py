@@ -47,6 +47,7 @@ CENTRE_BARK = np.asarray(T.CENTRE_OF_BAND_BARK)
 NR_HZ_BANDS = np.asarray(T.NR_OF_HZ_BANDS_PER_BARK_BAND)
 ALIGN_FILTER_DB = np.asarray(T.ALIGN_FILTER_DB)
 WB_IIR = np.asarray(T.WB_IN_IIR_HSOS[0])
+STD_IIR = np.asarray(T.STD_IN_IIR_HSOS_16K)
 
 
 def _datapadding_samples() -> int:
@@ -135,49 +136,384 @@ def apply_vad(x: np.ndarray, nsamples: int):
     else:
         level_min = 1.0
 
-    # iterative noise-floor refinement
+    # iterative noise-floor refinement: threshold = noise mean + 2 sigma
+    # (verified against the oracle binary's apply_VAD on noisy signals)
     for _ in range(12):
         below = vad[vad <= level_thresh]
         if len(below) == 0:
             break
-        level_noise = float(np.mean(below))
-        if abs(level_thresh - 1.001 * level_noise) < 1e-12 * level_thresh:
+        mu = float(np.mean(below))
+        sd = float(np.sqrt(max(np.mean(below**2) - mu * mu, 0.0)))
+        new_thresh = mu + 2.0 * sd
+        if abs(level_thresh - new_thresh) < 1e-12 * level_thresh:
             break
-        level_thresh = 1.001 * level_noise
+        level_thresh = new_thresh
 
-    # activity smoothing: join short gaps, drop short bursts
+    # activity smoothing (verified window-exact against the oracle binary's
+    # apply_VAD via tools/pesq_oracle_introspect.py):
+    #  1. drop active runs shorter than 5 windows,
+    #  2. join inactive gaps of <= MINUTTLENGTH (50) windows between
+    #     surviving runs,
+    #  3. extend every remaining run edge outward by two windows at 0.3x
+    #     and 0.1x the boundary window's level.
     active = vad > level_thresh
-    # join gaps of <= 2 windows surrounded by activity
-    for i in range(1, nwin - 1):
-        if not active[i] and active[i - 1] and (
-            active[min(i + 1, nwin - 1)] or active[min(i + 2, nwin - 1)]
-        ):
-            active[i] = True
-    # drop isolated single-window bursts
-    for i in range(1, nwin - 1):
-        if active[i] and not active[i - 1] and not active[i + 1]:
-            active[i] = False
 
-    logvad = np.where(active, np.log(np.maximum(vad / level_thresh, 1e-30)), 0.0)
-    logvad = np.maximum(logvad, 0.0)
+    def _runs(mask, value):
+        out, i = [], 0
+        while i < nwin:
+            if mask[i] == value:
+                j = i
+                while j < nwin and mask[j] == value:
+                    j += 1
+                out.append((i, j))
+                i = j
+            else:
+                i += 1
+        return out
+
+    for s, e in _runs(active, True):
+        if e - s < 5:
+            active[s:e] = False
+    pos = _runs(active, True)
+    for k in range(1, len(pos)):
+        gap_s, gap_e = pos[k - 1][1], pos[k][0]
+        if gap_e - gap_s <= 50:
+            active[gap_s:gap_e] = True
+
+    vad_out = vad.copy()
+    for s, e in _runs(active, True):
+        if s - 1 >= 0:
+            vad_out[s - 1] = 0.3 * vad[s]
+            active[s - 1] = True
+        if s - 2 >= 0:
+            vad_out[s - 2] = 0.1 * vad[s]
+            active[s - 2] = True
+        if e < nwin:
+            vad_out[e] = 0.3 * vad[e - 1]
+            active[e] = True
+        if e + 1 < nwin:
+            vad_out[e + 1] = 0.1 * vad[e - 1]
+            active[e + 1] = True
+
+    vad = np.where(active, vad_out, 0.0)
+    logvad = np.where(
+        vad > level_thresh,
+        np.log(np.maximum(vad / level_thresh, 1e-30)),
+        0.0,
+    )
     return vad, logvad
+
+
+def _fft_nx_corr(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    """Full linear cross-correlation (P.862 FFTNXCorr):
+    Y[i] = sum_j x1[j] * x2[i - (n1 - 1) + j], i in [0, n1 + n2 - 1)."""
+    n1, n2 = len(x1), len(x2)
+    pow2 = _next_pow2(n1 + n2 - 1)
+    X1 = np.fft.rfft(x1[::-1], pow2)
+    X2 = np.fft.rfft(x2, pow2)
+    return np.fft.irfft(X1 * X2, pow2)[: n1 + n2 - 1]
 
 
 def crude_align(log_vad_ref: np.ndarray, log_vad_deg: np.ndarray) -> int:
     """Whole-signal crude delay estimate via logVAD cross-correlation.
 
-    Returns the delay estimate in samples.
+    Returns the delay estimate in samples (positive = deg delayed).
     """
-    nr, nd = len(log_vad_ref), len(log_vad_deg)
-    n = max(nr, nd)
-    pow2 = _next_pow2(2 * n)
-    R = np.fft.rfft(log_vad_ref, pow2)
-    D = np.fft.rfft(log_vad_deg, pow2)
-    corr = np.fft.irfft(np.conj(R) * D, pow2)
-    # lags: positive lag k means deg delayed by k windows
-    lags = np.concatenate([np.arange(0, pow2 // 2), np.arange(-pow2 // 2, 0)])
-    best = int(np.argmax(corr))
-    return int(lags[best]) * DOWNSAMPLE
+    y = _fft_nx_corr(log_vad_ref, log_vad_deg)
+    best = int(np.argmax(y))
+    if y[best] <= 0.0:
+        return 0
+    return (best - (len(log_vad_ref) - 1)) * DOWNSAMPLE
+
+
+def crude_subalign(log_vad_ref, log_vad_deg, startr, nr, startd, nd) -> int:
+    """Per-utterance crude align over a search window (P.862 crude_align
+    with an utterance id): returns the delay in samples RELATIVE to the
+    startd offset already applied."""
+    if nr <= 1 or nd <= 1:
+        return 0
+    y = _fft_nx_corr(
+        log_vad_ref[startr : startr + nr], log_vad_deg[startd : startd + nd]
+    )
+    best = int(np.argmax(y))
+    if y[best] <= 0.0:
+        return 0
+    return (best - (nr - 1)) * DOWNSAMPLE
+
+
+def time_align(ref, deg, deg_nsamples, sw_start_w, sw_end_w, estdelay):
+    """P.862 time_align: histogram of windowed cross-correlation peaks over
+    the utterance search window.  Returns (delay, confidence)."""
+    N = ALIGN_NFFT
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(N) / N))
+    H = np.zeros(N)
+
+    startr = sw_start_w * DOWNSAMPLE
+    startd = startr + estdelay
+    if startd < 0:
+        startr = -estdelay
+        startd = 0
+
+    end_r = sw_end_w * DOWNSAMPLE
+    while (startd + N <= deg_nsamples) and (startr + N <= end_r):
+        x1 = ref[startr : startr + N] * window
+        x2 = deg[startd : startd + N] * window
+        corr = np.fft.irfft(np.conj(np.fft.rfft(x1)) * np.fft.rfft(x2), N)
+        a = np.abs(corr)
+        v_max = float(a.max()) * 0.99
+        H[a > v_max] += v_max**0.125
+        startr += N // 4
+        startd += N // 4
+
+    hsum = float(H.sum())
+    # circular triangular smoothing, half-width N/64
+    kernel = N // 64
+    smoothed = np.zeros(N)
+    idx = np.nonzero(H)[0]
+    for c in idx:
+        for k in range(1 - kernel, kernel):
+            smoothed[(c + k) % N] += H[c] * (1.0 - abs(k) / kernel)
+
+    i_max = int(np.argmax(smoothed))
+    v_max = float(smoothed[i_max])
+    if i_max >= N // 2:
+        i_max -= N
+    if hsum > 0.0:
+        conf = v_max / hsum
+    else:
+        conf = 0.0
+    return estdelay + i_max, conf
+
+
+MINUTTLENGTH = 50  # windows
+MAXNUTTERANCES = 50
+MIN_SPLIT_LEN = 200  # windows of speech before a split is attempted
+
+
+def id_searchwindows(vad_ref, nr, nd, crude_delay):
+    """P.862 id_searchwindows: utterance search windows from the ref VAD."""
+    vad_length = nr // DOWNSAMPLE
+    del_deg_start = MINUTTLENGTH - crude_delay // DOWNSAMPLE
+    del_deg_end = (nd - crude_delay) // DOWNSAMPLE - MINUTTLENGTH
+
+    windows = []
+    speech = False
+    this_start = 0
+    cur_start = 0
+    for count in range(vad_length):
+        v = vad_ref[count]
+        if v > 0.0 and not speech:
+            speech = True
+            this_start = count
+            cur_start = max(count - SEARCHBUFFER, 0)
+        if (v == 0.0 or count == vad_length - 1) and speech:
+            speech = False
+            end = min(count + SEARCHBUFFER, vad_length - 1)
+            if (
+                count - this_start >= MINUTTLENGTH
+                and this_start < del_deg_end
+                and count > del_deg_start
+                and len(windows) < MAXNUTTERANCES
+            ):
+                windows.append([cur_start, end])
+    return windows
+
+
+def _crude_align_utt(logvad_ref, logvad_deg, nd_windows, sw_start, sw_end,
+                     base_delay):
+    """Crude align one utterance window given a base delay estimate."""
+    startr = sw_start
+    startd = startr + base_delay // DOWNSAMPLE
+    if startd < 0:
+        startr = -base_delay // DOWNSAMPLE
+        startd = 0
+    nr_w = sw_end - startr
+    nd_w = nr_w
+    if startd + nd_w > nd_windows:
+        nd_w = nd_windows - startd
+    rel = crude_subalign(logvad_ref, logvad_deg, startr, nr_w, startd, nd_w)
+    return rel + base_delay
+
+
+def id_utterances(windows, vad_ref, nr, nd, delays):
+    """P.862 id_utterances: utterance bodies from the VAD + delay overlap
+    adjustment.  windows/delays per utterance; returns [start_w, end_w]."""
+    vad_length = nr // DOWNSAMPLE
+    # utterance bodies: the speech runs (same scan, without search margins)
+    bodies = []
+    speech = False
+    this_start = 0
+    del_deg_start = MINUTTLENGTH - delays[0] // DOWNSAMPLE if delays else 0
+    del_deg_end = (
+        (nd - delays[-1]) // DOWNSAMPLE - MINUTTLENGTH if delays else 0
+    )
+    for count in range(vad_length):
+        v = vad_ref[count]
+        if v > 0.0 and not speech:
+            speech = True
+            this_start = count
+            cur = [count, count]
+        if (v == 0.0 or count == vad_length - 1) and speech:
+            speech = False
+            cur[1] = count
+            if (
+                count - this_start >= MINUTTLENGTH
+                and this_start < del_deg_end
+                and count > del_deg_start
+                and len(bodies) < MAXNUTTERANCES
+            ):
+                bodies.append(cur)
+    n_utt = min(len(bodies), len(delays))
+    bodies = [list(b) for b in bodies[:n_utt]]
+    if not bodies:
+        return []
+
+    bodies[0][0] = SEARCHBUFFER
+    bodies[-1][1] = vad_length - SEARCHBUFFER
+
+    # midpoint join of consecutive utterances (ref timeline)
+    for u in range(1, n_utt):
+        this_start = bodies[u][0] * DOWNSAMPLE
+        last_end = bodies[u - 1][1] * DOWNSAMPLE
+        mid = (this_start + last_end) // 2
+        bodies[u][0] = mid // DOWNSAMPLE
+        bodies[u - 1][1] = mid // DOWNSAMPLE
+
+    # clamp first/last so the deg timeline stays inside the signal
+    first_start = bodies[0][0] * DOWNSAMPLE + delays[0]
+    if first_start < SEARCHBUFFER * DOWNSAMPLE:
+        bodies[0][0] = (
+            SEARCHBUFFER + (DOWNSAMPLE - 1 - delays[0]) // DOWNSAMPLE
+        )
+    last_end = bodies[-1][1] * DOWNSAMPLE + delays[-1]
+    if last_end > nd - SEARCHBUFFER * DOWNSAMPLE:
+        bodies[-1][1] = (nd - delays[-1]) // DOWNSAMPLE - SEARCHBUFFER
+
+    # resolve deg-timeline overlaps between consecutive utterances
+    for u in range(1, n_utt):
+        this_start = bodies[u][0] * DOWNSAMPLE + delays[u]
+        last_end = bodies[u - 1][1] * DOWNSAMPLE + delays[u - 1]
+        if this_start < last_end:
+            mid = (this_start + last_end) // 2
+            bodies[u][0] = (
+                mid + (DOWNSAMPLE - 1) - delays[u]
+            ) // DOWNSAMPLE
+            bodies[u - 1][1] = (mid - delays[u - 1]) // DOWNSAMPLE
+    return bodies
+
+
+def split_align(ref, deg, logvad_ref, logvad_deg, nr, nd,
+                utt_start, utt_speech_start, utt_speech_end, utt_end,
+                utt_delay_est, utt_delay_conf):
+    """P.862 split_align: search for the break point that splits an
+    utterance into two better-aligned halves.  Returns
+    (ed1, d1, dc1, ed2, d2, dc2, best_bp) with dc = 0 when no candidate."""
+    utt_len = utt_speech_end - utt_speech_start
+    pad = max(utt_len // 4, SEARCHBUFFER)
+    nd_windows = nd // DOWNSAMPLE
+
+    step_base = int((0.801 * utt_len + 40 * 4 - 1) / (40 * 4))
+    step = max(step_base, 1) * 4
+
+    bps = list(range(utt_speech_start + pad, utt_speech_end - pad + 1, step))
+    best = (0, 0, 0.0, 0, 0, 0.0, 0)
+    best_min = 0.0
+    for bp in bps:
+        # first half [utt_start, bp)
+        ed1 = _crude_align_utt(
+            logvad_ref, logvad_deg, nd_windows, utt_start, bp, utt_delay_est
+        )
+        d1, dc1 = time_align(ref, deg, nd, utt_start, bp, ed1)
+        if dc1 <= utt_delay_conf:
+            continue
+        # second half [bp, utt_end)
+        ed2 = _crude_align_utt(
+            logvad_ref, logvad_deg, nd_windows, bp, utt_end, utt_delay_est
+        )
+        d2, dc2 = time_align(ref, deg, nd, bp, utt_end, ed2)
+        if dc2 <= utt_delay_conf:
+            continue
+        m = min(dc1, dc2)
+        if m > best_min:
+            best_min = m
+            best = (ed1, d1, dc1, ed2, d2, dc2, bp)
+    return best
+
+
+def utterance_locate(ref, deg, vad_ref, logvad_ref, logvad_deg, nr, nd):
+    """Full P.862 utterance location chain: search windows, per-utterance
+    crude + fine alignment, utterance identification, and recursive
+    splitting.  Returns a list of (start_w, end_w, delay_samples)."""
+    crude_delay = crude_align(logvad_ref, logvad_deg)
+    windows = id_searchwindows(vad_ref, nr, nd, crude_delay)
+    if not windows:
+        # no utterances found: treat the whole signal as one piece with the
+        # crude delay
+        vad_length = nr // DOWNSAMPLE
+        return [(SEARCHBUFFER, vad_length - SEARCHBUFFER, crude_delay)]
+
+    nd_windows = nd // DOWNSAMPLE
+    delay_ests, delays, confs = [], [], []
+    for sw_start, sw_end in windows:
+        est = _crude_align_utt(
+            logvad_ref, logvad_deg, nd_windows, sw_start, sw_end, crude_delay
+        )
+        d, c = time_align(ref, deg, nd, sw_start, sw_end, est)
+        delay_ests.append(est)
+        delays.append(d)
+        confs.append(c)
+
+    bodies = id_utterances(windows, vad_ref, nr, nd, delays)
+    n_utt = len(bodies)
+    windows = windows[:n_utt]
+    delay_ests, delays, confs = (
+        delay_ests[:n_utt], delays[:n_utt], confs[:n_utt]
+    )
+
+    # utterance_split: recursively split utterances whose halves align
+    # with more confidence than the whole
+    utt = 0
+    while utt < len(bodies) and len(bodies) <= MAXNUTTERANCES:
+        start_w, end_w = bodies[utt]
+        speech_start = start_w
+        vad_length = nr // DOWNSAMPLE
+        while speech_start < end_w and vad_ref[speech_start] <= 0.0:
+            speech_start += 1
+        speech_end = end_w
+        while speech_end > start_w and vad_ref[min(speech_end, vad_length - 1)] <= 0.0:
+            speech_end -= 1
+        speech_end += 1
+
+        if speech_end - speech_start >= MIN_SPLIT_LEN and len(bodies) < MAXNUTTERANCES:
+            ed1, d1, dc1, ed2, d2, dc2, bp = split_align(
+                ref, deg, logvad_ref, logvad_deg, nr, nd,
+                start_w, speech_start, speech_end, end_w,
+                delay_ests[utt], confs[utt],
+            )
+            if dc1 > confs[utt] and dc2 > confs[utt]:
+                # P.862 utterance_split: on a delay INCREASE the deg skips
+                # content, so the two pieces are spread (d2-d1)/(2*Ds)
+                # windows apart around the break point; on a decrease both
+                # boundaries sit at the break point
+                if d2 < d1:
+                    end1, start2 = bp, bp
+                else:
+                    spread = (d2 - d1) // (2 * DOWNSAMPLE)
+                    end1, start2 = bp + spread, bp - spread
+                bodies[utt] = [start_w, end1]
+                bodies.insert(utt + 1, [start2, end_w])
+                delay_ests[utt] = ed1
+                delay_ests.insert(utt + 1, ed2)
+                delays[utt] = d1
+                delays.insert(utt + 1, d2)
+                confs[utt] = dc1
+                confs.insert(utt + 1, dc2)
+                continue  # re-examine the first piece
+        utt += 1
+
+    return [
+        (int(b[0]), int(b[1]), int(d)) for b, d in zip(bodies, delays)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -234,28 +570,41 @@ def _pseudo_lp(d: np.ndarray, p: float) -> np.ndarray:
     return res * total_w
 
 
+def model_frame_count(max_nsamples: int) -> int:
+    """P.862 frame count: stop_frame = (maxN - 2*buf)/(Nf/2) - 1, frames
+    0..stop_frame INCLUSIVE (the last frame reads into the datapadding)."""
+    buf = SEARCHBUFFER * DOWNSAMPLE
+    return (max_nsamples - 2 * buf) // (NF // 2)
+
+
 def psychoacoustic_model(
     ref: np.ndarray,
     deg: np.ndarray,
     nsamples: int,
     frame_delays: np.ndarray | None = None,
+    nsamples_deg: int | None = None,
 ) -> float:
     """Raw P.862 score from aligned padded signals.
 
+    nsamples: max(Nsamples_ref, Nsamples_deg) per the Recommendation.
     frame_delays: optional per-frame deg sample offsets (time alignment);
     zeros when signals are aligned (the enhancement-validation case).
     """
+    if nsamples_deg is None:
+        nsamples_deg = nsamples
     buf = SEARCHBUFFER * DOWNSAMPLE
-    # frame loop covers the active signal only; the datapadding tail exists
-    # for alignment search margins, not for the model
-    n_frames = (nsamples - 2 * buf) // (NF // 2) - 1
+    n_frames = model_frame_count(nsamples)
     starts_ref = buf + np.arange(n_frames) * (NF // 2)
     if frame_delays is None:
         frame_delays = np.zeros(n_frames, dtype=int)
-    starts_deg = np.clip(starts_ref + frame_delays, 0, len(deg) - NF)
+    raw_deg = starts_ref + frame_delays
+    # out-of-range deg frames score against silence (P.862 frame loop)
+    valid = (raw_deg > 0) & (raw_deg + NF < nsamples + _datapadding_samples())
+    starts_deg = np.clip(raw_deg, 0, len(deg) - NF)
 
     hz_ref = _short_term_ffts(ref, starts_ref)
     hz_deg = _short_term_ffts(deg, starts_deg)
+    hz_deg[~valid] = 0.0
     ppd_ref = _freq_warping(hz_ref)  # [T, 49]
     ppd_deg = _freq_warping(hz_deg)
 
@@ -306,7 +655,7 @@ def psychoacoustic_model(
     # stretches are re-searched for a better deg alignment and keep the
     # minimum disturbance (P.862 bad-frame processing)
     frame_dist, frame_dist_asym = _reprocess_bad_intervals(
-        ref, deg, starts_ref, frame_delays, x, scale, ta_ref,
+        ref, deg, nsamples_deg, starts_ref, frame_delays, x, scale, ta_ref,
         frame_dist, frame_dist_asym,
     )
 
@@ -376,31 +725,31 @@ def compute_delay(t1: np.ndarray, t2: np.ndarray, start: int, stop: int,
     return int(lags[best]), float(vals[best] / norm)
 
 
-def _reprocess_bad_intervals(ref, deg, starts_ref, frame_delays, comp_x,
+def _reprocess_bad_intervals(ref, deg, nd, starts_ref, frame_delays, comp_x,
                              comp_scale, ta_ref_arr, frame_dist, frame_dist_asym):
-    """P.862 bad-frame processing: find heavily disturbed intervals,
-    re-search the deg alignment with compute_delay over a +-2048 sample
-    margin, and keep the per-frame minimum disturbance."""
+    """P.862 bad-frame processing: find heavily disturbed intervals, build a
+    per-sample time-aligned ("tweaked") degraded copy, re-search its
+    alignment with compute_delay over a +-2048 sample margin, recompute the
+    interval's frames from the doubly-tweaked copy, and keep the per-frame
+    minimum disturbance."""
     n_frames = len(frame_dist)
     bad = frame_dist > THRESHOLD_BAD_FRAMES
     if not np.any(bad):
         return frame_dist, frame_dist_asym
-    # morphological closing: a frame is smeared-bad if itself bad or if bad
-    # frames exist within SMEAR_RANGE on BOTH sides
+    # smearing (P.862): a frame in the interior is smeared-bad iff bad
+    # frames exist within SMEAR_RANGE on BOTH sides (itself included);
+    # edge frames are never smeared-bad
     smeared = np.zeros(n_frames, bool)
-    for f in range(n_frames):
-        lo, hi = max(0, f - SMEAR_RANGE), min(n_frames, f + SMEAR_RANGE + 1)
-        left = np.any(bad[lo : f + 1])
-        right = np.any(bad[f:hi])
+    for f in range(SMEAR_RANGE, n_frames - SMEAR_RANGE):
+        left = np.any(bad[f - SMEAR_RANGE : f + 1])
+        right = np.any(bad[f : f + SMEAR_RANGE + 1])
         smeared[f] = left and right
 
     buf = SEARCHBUFFER * DOWNSAMPLE
-    active_lo = buf
-    active_hi = min(len(ref), len(deg)) - buf
-
     w = _hann(NF)
     frame_dist = frame_dist.copy()
     frame_dist_asym = frame_dist_asym.copy()
+    hop = NF // 2
 
     f = 0
     while f < n_frames:
@@ -413,33 +762,32 @@ def _reprocess_bad_intervals(ref, deg, starts_ref, frame_delays, comp_x,
         if g - f >= MIN_BAD_INTERVAL:
             s0 = int(starts_ref[f])
             s1 = int(starts_ref[g - 1]) + NF
-            n_int = s1 - s0
-            # extended +-2048 copies, clamped to the active region
-            idx = np.clip(
-                np.arange(s0 - BAD_INTERVAL_SEARCH, s1 + BAD_INTERVAL_SEARCH),
-                active_lo, active_hi - 1,
-            )
-            seg_ref = ref[idx]
-            d0 = int(frame_delays[f])
-            idx_d = np.clip(idx + d0, active_lo, active_hi - 1)
-            seg_deg = deg[idx_d]
+            lo = s0 - BAD_INTERVAL_SEARCH
+            hi = s1 + BAD_INTERVAL_SEARCH
+            # per-sample time-aligned deg copy over the extended window
+            i_idx = np.arange(lo, hi)
+            fr_idx = np.clip((i_idx - buf) // hop, 0, n_frames - 1)
+            delay_i = frame_delays[fr_idx]
+            j = np.clip(i_idx + delay_i, buf, nd - buf - 1)
+            tweaked = deg[j]
+            seg_ref = ref[np.clip(i_idx, 0, len(ref) - 1)]
             delta, corr = compute_delay(
-                seg_ref, seg_deg, 0, len(seg_ref), BAD_INTERVAL_SEARCH
+                seg_ref, tweaked, 0, hi - lo, BAD_INTERVAL_SEARCH
             )
             if corr < 0.5:
                 delta = 0
             if delta != 0:
-                new_delay = d0 + delta
+                # doubly-tweaked copy: interval shifted by the found delta
                 for fr in range(f, g):
                     sr = int(starts_ref[fr])
-                    sd = sr + new_delay
-                    if sd < 0 or sd + NF > len(deg):
+                    off = sr - lo + delta
+                    if off < 0 or off + NF > len(tweaked):
                         continue
                     rspec = np.abs(
                         np.fft.rfft(ref[sr : sr + NF] * w)
                     )[: NF // 2] ** 2
                     dspec = np.abs(
-                        np.fft.rfft(deg[sd : sd + NF] * w)
+                        np.fft.rfft(tweaked[off : off + NF] * w)
                     )[: NF // 2] ** 2
                     fd, fda = _frame_pair_disturbance(rspec, dspec, comp_x)
                     frame_dist[fr] = min(frame_dist[fr], fd)
@@ -478,33 +826,47 @@ def pesq_wb_np(clean: np.ndarray, degraded: np.ndarray) -> float:
     ref = fix_power_level(ref, nr)
     deg = fix_power_level(deg, nd)
 
-    # P.862.2 wideband input filter (single IIR section)
+    # MODEL path: DC block + the P.862.2 wideband input filter
+    ref = dc_block(ref, nr)
+    deg = dc_block(deg, nd)
     ref = _iir_sos(ref, WB_IIR)
     deg = _iir_sos(deg, WB_IIR)
 
-    ref = dc_block(ref, nr)
-    deg = dc_block(deg, nd)
+    # ALIGNMENT path (P.862.2 pesq_measure): a COPY of the model data gets
+    # another DC block + the standard 12-section input filter; VAD, crude
+    # and fine time alignment all run on this copy, while the
+    # psychoacoustic model scores the wideband-filtered data
+    ref_a = _iir_sos(dc_block(ref, nr), STD_IIR)
+    deg_a = _iir_sos(dc_block(deg, nd), STD_IIR)
 
-    _, logvad_ref = apply_vad(ref, nr)
-    _, logvad_deg = apply_vad(deg, nd)
-    delay = crude_align(logvad_ref, logvad_deg)
+    vad_ref, logvad_ref = apply_vad(ref_a, nr)
+    _, logvad_deg = apply_vad(deg_a, nd)
 
-    n = min(nr, nd)
+    # full P.862 utterance chain: search windows, per-utterance crude +
+    # histogram time alignment, utterance bodies, recursive splitting
+    utts = utterance_locate(
+        ref_a, deg_a, vad_ref, logvad_ref, logvad_deg, nr, nd
+    )
+
     buf = SEARCHBUFFER * DOWNSAMPLE
-    # sample-accurate refinement of the crude (window-granular) estimate —
-    # the role of the reference's per-utterance split alignment
-    lo, hi = buf, n - buf
-    if 0 <= lo + delay and hi + delay <= len(deg):
-        fine, corr = compute_delay(
-            ref[lo:hi], deg[lo + delay : hi + delay], 0, hi - lo,
-            2 * DOWNSAMPLE,
-        )
-        if corr >= 0.5:
-            delay += fine
+    max_n = max(nr, nd)
+    # both buffers must cover the model's frame span (maxN + datapadding)
+    need = max_n + _datapadding_samples()
+    if len(ref) < need:
+        ref = np.concatenate([ref, np.zeros(need - len(ref))])
+    if len(deg) < need:
+        deg = np.concatenate([deg, np.zeros(need - len(deg))])
 
-    n_frames = (n - 2 * SEARCHBUFFER * DOWNSAMPLE) // (NF // 2) - 1
-    frame_delays = np.full(n_frames, delay, dtype=int)
-    raw = psychoacoustic_model(ref, deg, n, frame_delays)
+    n_frames = model_frame_count(max_n)
+    starts_ref = buf + np.arange(n_frames) * (NF // 2)
+    utt_starts = np.asarray([u[0] * DOWNSAMPLE for u in utts])
+    utt_delays = np.asarray([u[2] for u in utts])
+    # each frame uses the delay of the last utterance starting at or before
+    # it (P.862 psychoacoustic-model frame loop)
+    which = np.searchsorted(utt_starts, starts_ref, side="right") - 1
+    frame_delays = utt_delays[np.maximum(which, 0)]
+
+    raw = psychoacoustic_model(ref, deg, max_n, frame_delays, nsamples_deg=nd)
     return float(_wb_mos_mapping(raw))
 
 

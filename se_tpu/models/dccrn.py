@@ -194,6 +194,11 @@ class DCCRN(nn.Module):
 
         B, C, D, T = out.shape
         out = jnp.transpose(out, (3, 0, 1, 2))  # [T, B, C, D]
+        # the recurrent bottleneck runs in f32 regardless of compute_dtype:
+        # bf16 error compounds over the 481-step recurrence and destabilises
+        # training (measured: NaN by step ~150), while the LSTM is <5% of
+        # the step; the conv stages keep the bf16 fast path
+        out = out.astype(jnp.float32)
         if c.lstm == "complex":
             r_in = out[:, :, : C // 2].reshape(T, B, C // 2 * D)
             i_in = out[:, :, C // 2 :].reshape(T, B, C // 2 * D)
@@ -208,7 +213,7 @@ class DCCRN(nn.Module):
             out = self.enhance_lstm(out, train=train)
             out = self.tranform(out)
             out = out.reshape(T, B, C, D)
-        out = jnp.transpose(out, (1, 2, 3, 0))  # [B, C, D, T]
+        out = jnp.transpose(out, (1, 2, 3, 0)).astype(compute_dtype)  # [B, C, D, T]
 
         n = len(self.decoder)
         for idx in range(n):

@@ -70,15 +70,14 @@ class TorchBatchNorm2d(nn.Module):
         rv = self.variable(
             "batch_stats", "running_var", jnp.ones, (self.num_features,)
         )
-        in_dtype = x.dtype
         y, new_m, new_v = batch_norm_2d(
-            x.astype(jnp.float32), scale, bias, rm.value, rv.value,
+            x, scale, bias, rm.value, rv.value,
             train, self.momentum, self.eps,
         )
         if train and not self.is_initializing():
             rm.value = new_m
             rv.value = new_v
-        return y.astype(in_dtype)
+        return y
 
 
 class ComplexBatchNorm(nn.Module):

@@ -34,10 +34,17 @@ def batch_norm_2d(
     momentum: float = 0.1,
     eps: float = 1e-5,
 ):
-    """[B, C, H, W] batch norm. Returns (y, new_running_mean, new_running_var)."""
+    """[B, C, H, W] batch norm. Returns (y, new_running_mean, new_running_var).
+
+    Mixed precision: statistics accumulate in f32 regardless of x.dtype
+    (``jnp.mean(..., dtype=f32)`` fuses the upconvert into the reduce), the
+    elementwise normalisation runs in x.dtype so bf16 activations never
+    materialise f32 copies, and the running buffers stay f32.
+    """
     if train:
-        mean = jnp.mean(x, axis=(0, 2, 3))
-        var = jnp.var(x, axis=(0, 2, 3))
+        mean = jnp.mean(x, axis=(0, 2, 3), dtype=jnp.float32)
+        xc = x - mean.astype(x.dtype)[None, :, None, None]
+        var = jnp.mean(jnp.square(xc), axis=(0, 2, 3), dtype=jnp.float32)
         n = x.shape[0] * x.shape[2] * x.shape[3]
         unbiased = var * n / max(n - 1, 1)
         new_mean = (1 - momentum) * running_mean + momentum * mean
@@ -46,8 +53,10 @@ def batch_norm_2d(
         mean, var = running_mean, running_var
         new_mean, new_var = running_mean, running_var
     inv = lax.rsqrt(var + eps)
-    y = (x - mean[None, :, None, None]) * (scale * inv)[None, :, None, None]
-    y = y + bias[None, :, None, None]
+    y = (x - mean.astype(x.dtype)[None, :, None, None]) * (
+        (scale * inv).astype(x.dtype)
+    )[None, :, None, None]
+    y = y + bias.astype(x.dtype)[None, :, None, None]
     return y, new_mean, new_var
 
 

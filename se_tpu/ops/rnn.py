@@ -55,7 +55,7 @@ def init_gru_params(key, input_size: int, hidden_size: int) -> LstmParams:
 
 
 def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int,
-               h0=None, c0=None):
+               h0=None, c0=None, unroll: int = 4):
     """x_proj: [T, ..., 4H] precomputed input projection (+ biases)."""
     H = hidden_size
     batch_shape = x_proj.shape[1:-1]
@@ -75,7 +75,7 @@ def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int,
         return (h, c), h
 
     # unroll amortises per-step dispatch overhead on TPU; numerics unchanged
-    (h, c), ys = lax.scan(step, (h, c), x_proj, unroll=4)
+    (h, c), ys = lax.scan(step, (h, c), x_proj, unroll=unroll)
     return ys, (h, c)
 
 
@@ -84,6 +84,7 @@ def lstm(
     x: jnp.ndarray,
     h0: Optional[jnp.ndarray] = None,
     c0: Optional[jnp.ndarray] = None,
+    unroll: int = 4,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Single-layer unidirectional LSTM. x: [T, B, In] -> [T, B, H]."""
     params = LstmParams(*[p.astype(x.dtype) for p in params])
@@ -93,7 +94,7 @@ def lstm(
                    precision=lax.Precision.HIGHEST)
         + params.b_ih + params.b_hh
     )
-    return _lstm_scan(x_proj, params.w_hh, H, h0, c0)
+    return _lstm_scan(x_proj, params.w_hh, H, h0, c0, unroll)
 
 
 def lstm_stack(
@@ -101,6 +102,7 @@ def lstm_stack(
     x: jnp.ndarray,  # [L, T, B, In] or [T, B, In] broadcast to all stacks
     state=None,  # optional ((h, c)) with h, c of shape [L, B, H]
     return_state: bool = False,
+    unroll: int = 4,
 ):
     """L independent LSTMs in ONE scan. Returns [L, T, B, H]
     (and the final (h, c) when ``return_state``)."""
@@ -118,7 +120,7 @@ def lstm_stack(
     h0 = c0 = None
     if state is not None:
         h0, c0 = state
-    ys, final = _lstm_scan(x_proj, params.w_hh, H, h0, c0)
+    ys, final = _lstm_scan(x_proj, params.w_hh, H, h0, c0, unroll)
     ys = ys.swapaxes(0, 1)  # [L, T, B, H]
     if return_state:
         return ys, final

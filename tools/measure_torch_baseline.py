@@ -35,13 +35,19 @@ def main():
         loss.backward()
         opt.step()
 
+    import os
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    print(f"torch threads: {torch.get_num_threads()} (host has "
+          f"{os.cpu_count()} cpu)")
+
     step()  # warmup
     n = 3
     t0 = time.time()
     for _ in range(n):
         step()
     dt = (time.time() - t0) / n
-    print(f"train step: {dt:.3f}s -> {B / dt:.3f} utt/s")
+    print(f"train step (eager): {dt:.3f}s -> {B / dt:.3f} utt/s")
 
     with torch.no_grad():
         model(x)
@@ -49,7 +55,35 @@ def main():
         for _ in range(n):
             model(x)
         dt = (time.time() - t0) / n
-    print(f"enhance: {dt:.3f}s -> {B / dt:.3f} utt/s")
+    print(f"enhance (eager): {dt:.3f}s -> {B / dt:.3f} utt/s")
+
+    # stronger baseline: torch.compile (inductor), if it works in-image
+    try:
+        cmodel = torch.compile(model)
+
+        def cstep():
+            _, _, wav = cmodel(x)
+            loss = -torch_sdr(y, wav)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+        cstep()  # compile + warmup
+        t0 = time.time()
+        for _ in range(n):
+            cstep()
+        dt = (time.time() - t0) / n
+        print(f"train step (torch.compile): {dt:.3f}s -> {B / dt:.3f} utt/s")
+
+        with torch.no_grad():
+            cmodel(x)
+            t0 = time.time()
+            for _ in range(n):
+                cmodel(x)
+            dt = (time.time() - t0) / n
+        print(f"enhance (torch.compile): {dt:.3f}s -> {B / dt:.3f} utt/s")
+    except Exception as e:  # pragma: no cover
+        print(f"torch.compile unavailable/failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

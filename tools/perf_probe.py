@@ -221,11 +221,54 @@ def run_step_bench(batches=(40,), train=True, **cfg_kw):
         )
 
 
+def run_lstm_bench(B=96):
+    """Complex-LSTM bottleneck cost (fwd and fwd+bwd) with in-jit loops."""
+    from se_tpu.ops import rnn as rnn_ops
+
+    T, in_dim, units = 481, 512, 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, 2 * B, in_dim)), jnp.float32)
+
+    def make_params(key, in_d):
+        ks = jax.random.split(key, 2)
+        return rnn_ops.LstmParams(
+            *[
+                jnp.stack([a, b])
+                for a, b in zip(
+                    rnn_ops.init_lstm_params(ks[0], in_d, units),
+                    rnn_ops.init_lstm_params(ks[1], in_d, units),
+                )
+            ]
+        )
+
+    p0 = make_params(jax.random.PRNGKey(0), in_dim)
+    p1 = make_params(jax.random.PRNGKey(1), units)
+
+    for unroll in (1, 4, 8, 16):
+        def fwd(x, p0=p0, p1=p1, unroll=unroll):
+            ys = rnn_ops.lstm_stack(p0, x, unroll=unroll)
+            # complex recombine between layers (r2r - i2i etc.)
+            Bh = x.shape[1] // 2
+            r = ys[0, :, :Bh] - ys[1, :, Bh:]
+            i = ys[0, :, Bh:] + ys[1, :, :Bh]
+            z = jnp.concatenate([r, i], axis=1)
+            ys2 = rnn_ops.lstm_stack(p1, z, unroll=unroll)
+            return jnp.sum(ys2.astype(jnp.float32) ** 2)
+
+        jf = jax.jit(fwd)
+        jg = jax.jit(jax.grad(fwd))
+        tf = timeit(jf, x, iters=10)
+        tb = timeit(jg, x, iters=10)
+        print(f"unroll={unroll:2d}: fwd {tf*1e3:7.2f} ms   fwd+bwd {tb*1e3:7.2f} ms")
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "conv"
     print("devices:", jax.devices())
     if mode == "conv":
         run_conv_bench()
+    elif mode == "lstm":
+        run_lstm_bench()
     elif mode == "step":
         kw = {}
         for a in sys.argv[2:]:

@@ -76,6 +76,41 @@ def battery(rng):
     cases.append(("different_signal", x, y))
     # real mild distortion: spectral subtraction artifacts emulation
     cases.append(("half_gain_noise", x, 0.5 * x + 0.01 * rng.standard_normal(len(x))))
+
+    # --- time-shift battery (exercises the utterance alignment chain) ---
+    noise = rng.standard_normal(len(x))
+    noise *= np.sqrt(np.mean(x**2) / np.mean(noise**2) * 10 ** (-20 / 10))
+    noisy = x + noise
+
+    def shift(sig, k):
+        out = np.zeros_like(sig)
+        if k >= 0:
+            out[k:] = sig[: len(sig) - k]
+        else:
+            out[:k] = sig[-k:]
+        return out
+
+    for ms in (10, 50, 200):
+        k = ms * 16
+        cases.append((f"shift_+{ms}ms_20dB", x, shift(noisy, k)))
+        cases.append((f"shift_-{ms}ms_20dB", x, shift(noisy, -k)))
+
+    # multi-utterance signal: bursts with long silence gaps
+    seg = speechlike(rng, n=16000, f0=110.0)
+    gap = np.zeros(12800)
+    mx = np.concatenate([seg, gap, 0.8 * seg[::-1], gap, seg])
+    mnoise = rng.standard_normal(len(mx))
+    mnoise *= np.sqrt(
+        np.mean(mx**2) / np.mean(mnoise**2) * 10 ** (-25 / 10)
+    )
+    mnoisy = mx + mnoise
+    cases.append(("multi_utt_25dB", mx, mnoisy))
+    cases.append(("multi_utt_shift_+30ms", mx, shift(mnoisy, 480)))
+
+    # piecewise delay: delay changes mid-signal (split_align territory)
+    half = len(mx) // 2
+    pw = np.concatenate([shift(mnoisy[:half], 160), shift(mnoisy[half:], 800)])
+    cases.append(("piecewise_delay", mx, pw))
     return cases
 
 

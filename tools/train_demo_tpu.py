@@ -5,7 +5,7 @@ steps and reports PESQ/STOI of noisy vs enhanced on held-out data —
 an end-to-end smoke of the complete stack (train step, metrics, native
 PESQ) at production size.
 
-Run: python tools/train_demo_tpu.py [n_steps]
+Run: python tools/train_demo_tpu.py [n_steps] [compute_dtype]
 """
 
 import sys
@@ -16,6 +16,7 @@ import numpy as np
 
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    compute_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
 
     import jax
     import jax.numpy as jnp
@@ -49,7 +50,7 @@ def main():
             )
         return _cache[seed]
 
-    cfg = Config(loss="SI-SNR")
+    cfg = Config(loss="SI-SNR", compute_dtype=compute_dtype)
     model, state = create_train_state(cfg)
     step = make_train_step(cfg, model)
 
