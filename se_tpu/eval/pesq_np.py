@@ -570,11 +570,41 @@ def _pseudo_lp(d: np.ndarray, p: float) -> np.ndarray:
     return res * total_w
 
 
-def model_frame_count(max_nsamples: int) -> int:
-    """P.862 frame count: stop_frame = (maxN - 2*buf)/(Nf/2) - 1, frames
-    0..stop_frame INCLUSIVE (the last frame reads into the datapadding)."""
+CRITERIUM_FOR_SILENCE_OF_5_SAMPLES = 500.0
+
+
+def silence_skips(ref: np.ndarray, max_n: int):
+    """P.862 leading/trailing silence scan over the REFERENCE: advance while
+    the sum of 5 consecutive |samples| stays below 500.  Returns
+    (samples_to_skip_at_start, samples_to_skip_at_end)."""
     buf = SEARCHBUFFER * DOWNSAMPLE
-    return (max_nsamples - 2 * buf) // (NF // 2)
+    limit = max_n // 2
+    a = np.abs(ref)
+    skip_start = 0
+    while skip_start < limit:
+        if np.sum(a[buf + skip_start : buf + skip_start + 5]) >= \
+                CRITERIUM_FOR_SILENCE_OF_5_SAMPLES:
+            break
+        skip_start += 1
+    anchor = max_n - buf + _datapadding_samples() - 1
+    skip_end = 0
+    while skip_end < limit:
+        lo = anchor - skip_end - 4
+        if lo < 0 or np.sum(a[lo : anchor - skip_end + 1]) >= \
+                CRITERIUM_FOR_SILENCE_OF_5_SAMPLES:
+            break
+        skip_end += 1
+    return skip_start, skip_end
+
+
+def model_frame_count(max_nsamples: int, skip_end: int = 0) -> int:
+    """P.862 frame count: frames run 0..stop_frame inclusive with
+    stop_frame = (maxN - 2*buf + datapadding - skip_end)/(Nf/2) - 1 —
+    the loop extends into the datapadding until the trailing silence."""
+    buf = SEARCHBUFFER * DOWNSAMPLE
+    return (
+        max_nsamples - 2 * buf + _datapadding_samples() - skip_end
+    ) // (NF // 2)
 
 
 def psychoacoustic_model(
@@ -593,7 +623,9 @@ def psychoacoustic_model(
     if nsamples_deg is None:
         nsamples_deg = nsamples
     buf = SEARCHBUFFER * DOWNSAMPLE
-    n_frames = model_frame_count(nsamples)
+    skip_start, skip_end = silence_skips(ref, nsamples)
+    start_frame = skip_start // (NF // 2)
+    n_frames = model_frame_count(nsamples, skip_end)
     starts_ref = buf + np.arange(n_frames) * (NF // 2)
     if frame_delays is None:
         frame_delays = np.zeros(n_frames, dtype=int)
@@ -610,10 +642,14 @@ def psychoacoustic_model(
 
     # silent-frame classification for the frequency compensation average
     silent = _total_audible(ppd_ref, 1e2) < 1e7
-    n_total = n_frames
+    # P.862 passes (maxN - 2*buf + datapadding)/(Nf/2) - 1 as the
+    # averaging divisor (independent of the silence skips)
+    n_total = (
+        nsamples - 2 * buf + _datapadding_samples()
+    ) // (NF // 2) - 1
 
     # time-averaged audible spectra: per-band gating above 100x threshold,
-    # non-silent frames only, divisor is the TOTAL frame count
+    # non-silent frames only
     mask = (~silent)[:, None] & (ppd_ref > 100.0 * ABS_THRESH[None, :])
     avg_ref = np.sum(np.where(mask, ppd_ref, 0.0), axis=0) / n_total
     mask_d = (~silent)[:, None] & (ppd_deg > 100.0 * ABS_THRESH[None, :])
@@ -664,8 +700,10 @@ def psychoacoustic_model(
     frame_dist = np.minimum(frame_dist / h, 45.0)
     frame_dist_asym = np.minimum(frame_dist_asym / h, 45.0)
 
-    d_ind = _lpq_weight(frame_dist)
-    a_ind = _lpq_weight(frame_dist_asym)
+    # Lpq integrates frames [start_frame, stop_frame] — leading silent
+    # frames are excluded by the silence skip
+    d_ind = _lpq_weight(frame_dist, start_frame, n_frames - 1)
+    a_ind = _lpq_weight(frame_dist_asym, start_frame, n_frames - 1)
     return 4.5 - 0.1 * d_ind - 0.0309 * a_ind
 
 
@@ -796,16 +834,19 @@ def _reprocess_bad_intervals(ref, deg, nd, starts_ref, frame_delays, comp_x,
     return frame_dist, frame_dist_asym
 
 
-def _lpq_weight(frame_dist: np.ndarray, p_syl: float = 6.0, p_time: float = 2.0,
+def _lpq_weight(frame_dist: np.ndarray, start_frame: int, stop_frame: int,
+                p_syl: float = 6.0, p_time: float = 2.0,
                 frames_per_syllable: int = 20) -> float:
-    n = len(frame_dist)
+    """P.862 Lpq_weight over frames [start_frame, stop_frame] inclusive;
+    syllable windows start on the start_frame grid with half overlap and
+    always divide by the full window length."""
     result_time = 0.0
     total_time_weight = 0.0
-    for start in range(0, n, frames_per_syllable // 2):
-        seg = frame_dist[start : start + frames_per_syllable]
+    for start in range(start_frame, stop_frame + 1, frames_per_syllable // 2):
+        seg = frame_dist[start : min(start + frames_per_syllable,
+                                     stop_frame + 1)]
         if len(seg) == 0:
             continue
-        # divisor is the full window length even for the truncated tail
         r = (float(np.sum(seg**p_syl)) / frames_per_syllable) ** (1.0 / p_syl)
         result_time += r**p_time
         total_time_weight += 1.0
@@ -826,18 +867,27 @@ def pesq_wb_np(clean: np.ndarray, degraded: np.ndarray) -> float:
     ref = fix_power_level(ref, nr)
     deg = fix_power_level(deg, nd)
 
+    def _filter_active(x, n, sos):
+        # P.862 IIRFilt runs over [0, Nsamples - SEARCHBUFFER*Downsample)
+        # only — the trailing search buffer and datapadding stay zero
+        # (verified against the oracle's data buffers)
+        buf_ = SEARCHBUFFER * DOWNSAMPLE
+        out = x.copy()
+        out[: n - buf_] = _iir_sos(x[: n - buf_], sos)
+        return out
+
     # MODEL path: DC block + the P.862.2 wideband input filter
     ref = dc_block(ref, nr)
     deg = dc_block(deg, nd)
-    ref = _iir_sos(ref, WB_IIR)
-    deg = _iir_sos(deg, WB_IIR)
+    ref = _filter_active(ref, nr, WB_IIR)
+    deg = _filter_active(deg, nd, WB_IIR)
 
     # ALIGNMENT path (P.862.2 pesq_measure): a COPY of the model data gets
     # another DC block + the standard 12-section input filter; VAD, crude
     # and fine time alignment all run on this copy, while the
     # psychoacoustic model scores the wideband-filtered data
-    ref_a = _iir_sos(dc_block(ref, nr), STD_IIR)
-    deg_a = _iir_sos(dc_block(deg, nd), STD_IIR)
+    ref_a = _filter_active(dc_block(ref, nr), nr, STD_IIR)
+    deg_a = _filter_active(dc_block(deg, nd), nd, STD_IIR)
 
     vad_ref, logvad_ref = apply_vad(ref_a, nr)
     _, logvad_deg = apply_vad(deg_a, nd)
@@ -857,7 +907,8 @@ def pesq_wb_np(clean: np.ndarray, degraded: np.ndarray) -> float:
     if len(deg) < need:
         deg = np.concatenate([deg, np.zeros(need - len(deg))])
 
-    n_frames = model_frame_count(max_n)
+    _, skip_end = silence_skips(ref, max_n)
+    n_frames = model_frame_count(max_n, skip_end)
     starts_ref = buf + np.arange(n_frames) * (NF // 2)
     utt_starts = np.asarray([u[0] * DOWNSAMPLE for u in utts])
     utt_delays = np.asarray([u[2] for u in utts])
