@@ -111,6 +111,9 @@ def battery(rng):
     half = len(mx) // 2
     pw = np.concatenate([shift(mnoisy[:half], 160), shift(mnoisy[half:], 800)])
     cases.append(("piecewise_delay", mx, pw))
+    # decreasing delay: deg repeats content (P.862 frame amnesty territory)
+    pw2 = np.concatenate([shift(mnoisy[:half], 800), shift(mnoisy[half:], 160)])
+    cases.append(("piecewise_delay_rev", mx, pw2))
     return cases
 
 
