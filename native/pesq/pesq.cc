@@ -1,9 +1,13 @@
 // PESQ — ITU-T P.862.2 (wideband, 16 kHz) native implementation.
 //
 // C++ port of the validated numpy specification in
-// se_tpu/eval/pesq_np.py (kept in exact agreement by
-// tests/test_pesq_native.py).  Constants are the published P.862 tables
-// (p862_tables.h).  Exported entry:
+// se_tpu/eval/pesq_np.py (kept in agreement by tests/test_pesq.py and
+// tools/pesq_oracle_battery.py).  Implements the complete P.862
+// utterance time-alignment chain: VAD with activity smoothing,
+// whole-signal + per-utterance crude alignment, histogram time
+// alignment, utterance identification, recursive splitting, the
+// signal-repetition amnesty and bad-interval reprocessing.  Constants
+// are the published P.862 tables (p862_tables.h).  Exported entry:
 //   double pesq_measure_wb(const double* clean, const double* degraded,
 //                          long nclean, long ndeg, long fs);
 
@@ -25,6 +29,7 @@ using se_native::rfft;
 constexpr long SEARCHBUFFER = 75;
 constexpr long DATAPADDING_MSECS = 320;
 constexpr long NF = 512;  // DOWNSAMPLE * 8
+constexpr long ALIGN_NFFT = 1024;
 constexpr double TARGET_POWER = 1e7;
 constexpr double SP = 6.910853e-006;
 constexpr double SL = 1.866055e-001;
@@ -32,19 +37,24 @@ constexpr double THRESHOLD_BAD_FRAMES = 30.0;
 constexpr int SMEAR_RANGE = 2;
 constexpr int MIN_BAD_INTERVAL = 5;
 constexpr long BAD_INTERVAL_SEARCH = 2048;
+constexpr long MINUTTLENGTH = 50;  // windows
+constexpr int MAXNUTTERANCES = 50;
+constexpr long MIN_SPLIT_LEN = 200;  // speech windows before split attempts
+constexpr double CRIT_SILENCE_5 = 500.0;
 
 inline long dp_samples() { return DATAPADDING_MSECS * (P862_FS / 1000); }
+inline long div_trunc(long v, long d) { return v / d; }  // C semantics
 
 struct Padded {
   std::vector<double> data;
   long nsamples;  // active length incl. search buffers, excl. datapadding
 };
 
-Padded pad_signal(const double* x, long n) {
+Padded pad_signal(const double* x, long n, long reserve_extra) {
   const long buf = SEARCHBUFFER * P862_DOWNSAMPLE;
   Padded p;
   p.nsamples = n + 2 * buf;
-  p.data.assign(p.nsamples + dp_samples(), 0.0);
+  p.data.assign(p.nsamples + dp_samples() + reserve_extra, 0.0);
   std::memcpy(p.data.data() + buf, x, sizeof(double) * n);
   return p;
 }
@@ -64,7 +74,6 @@ void apply_filter_db(std::vector<double>& x, long nsamples,
   auto X = rfft(x.data() + buf, n, pow2);
   for (long k = 0; k < (long)X.size(); k++) {
     double freq = (double)k * (double)P862_FS / (double)pow2;
-    // piecewise-linear interpolation in (freq, dB) points
     double db;
     if (freq <= filt[0]) {
       db = filt[1];
@@ -87,50 +96,59 @@ void fix_power_level(Padded& p) {
   const long buf = SEARCHBUFFER * P862_DOWNSAMPLE;
   std::vector<double> filtered = p.data;
   apply_filter_db(filtered, p.nsamples, P862_ALIGN_FILTER_DB, 26);
-  double power =
-      pow_of(filtered, buf, p.nsamples - buf + dp_samples(),
-             p.nsamples - 2 * buf + dp_samples());
+  double power = pow_of(filtered, buf, p.nsamples - buf + dp_samples(),
+                        p.nsamples - 2 * buf + dp_samples());
   double g = std::sqrt(TARGET_POWER / power);
   for (auto& v : p.data) v *= g;
 }
 
-void iir_wb(Padded& p) {
-  const double b0 = P862_WB_IIR_SOS[0], b1 = P862_WB_IIR_SOS[1],
-               b2 = P862_WB_IIR_SOS[2], a1 = P862_WB_IIR_SOS[3],
-               a2 = P862_WB_IIR_SOS[4];
-  double x1 = 0, x2 = 0, y1 = 0, y2 = 0;
-  for (auto& v : p.data) {
-    double x0 = v;
-    double y0 = b0 * x0 + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2;
-    x2 = x1;
-    x1 = x0;
-    y2 = y1;
-    y1 = y0;
-    v = y0;
+// IIR biquad cascade over [0, nsamples - buf) only; the trailing search
+// buffer and datapadding stay zero (matches the oracle's buffers).
+void iir_sos_active(std::vector<double>& data, long nsamples,
+                    const double (*sos)[5], int nsec) {
+  const long buf = SEARCHBUFFER * P862_DOWNSAMPLE;
+  const long n = nsamples - buf;
+  for (int s = 0; s < nsec; s++) {
+    const double b0 = sos[s][0], b1 = sos[s][1], b2 = sos[s][2],
+                 a1 = sos[s][3], a2 = sos[s][4];
+    double x1 = 0, x2 = 0, y1 = 0, y2 = 0;
+    for (long i = 0; i < n; i++) {
+      double x0 = data[i];
+      double y0 = b0 * x0 + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2;
+      x2 = x1;
+      x1 = x0;
+      y2 = y1;
+      y1 = y0;
+      data[i] = y0;
+    }
   }
 }
 
-void dc_block(Padded& p) {
+void dc_block(std::vector<double>& data, long nsamples) {
   const long buf = SEARCHBUFFER * P862_DOWNSAMPLE;
-  const long n = p.nsamples;
+  const long n = nsamples;
   double mean = 0.0;
-  for (long i = buf; i < n - buf; i++) mean += p.data[i];
+  for (long i = buf; i < n - buf; i++) mean += data[i];
   mean /= (double)(n - 2 * buf);
-  for (long i = buf; i < n - buf; i++) p.data[i] -= mean;
+  for (long i = buf; i < n - buf; i++) data[i] -= mean;
   for (long i = 0; i < P862_DOWNSAMPLE; i++) {
     double ramp = ((double)i + 0.5) / (double)P862_DOWNSAMPLE;
-    p.data[buf + i] *= ramp;
-    p.data[n - buf - 1 - i] *= ramp;
+    data[buf + i] *= ramp;
+    data[n - buf - 1 - i] *= ramp;
   }
 }
 
-void apply_vad(const Padded& p, std::vector<double>& logvad) {
-  const long nwin = p.nsamples / P862_DOWNSAMPLE;
-  std::vector<double> vad(nwin);
+// P.862 apply_VAD: window powers, iterative mu + 2 sigma noise threshold,
+// activity smoothing (drop runs < 5, join gaps <= MINUTTLENGTH, 0.3/0.1
+// two-window edge extension).  Fills vad (0 where inactive) and logvad.
+void apply_vad(const std::vector<double>& data, long nsamples,
+               std::vector<double>& vad, std::vector<double>& logvad) {
+  const long nwin = nsamples / P862_DOWNSAMPLE;
+  vad.assign(nwin, 0.0);
   for (long i = 0; i < nwin; i++) {
     double s = 0.0;
     for (long j = 0; j < P862_DOWNSAMPLE; j++) {
-      double v = p.data[i * P862_DOWNSAMPLE + j];
+      double v = data[i * P862_DOWNSAMPLE + j];
       s += v * v;
     }
     vad[i] = s / (double)P862_DOWNSAMPLE;
@@ -146,54 +164,422 @@ void apply_vad(const Padded& p, std::vector<double>& logvad) {
     for (auto& v : vad) v = std::max(v, level_min);
   }
   for (int it = 0; it < 12; it++) {
-    double noise = 0.0;
+    double mu = 0.0, m2 = 0.0;
     long cnt = 0;
     for (double v : vad)
       if (v <= thresh) {
-        noise += v;
+        mu += v;
+        m2 += v * v;
         cnt++;
       }
     if (!cnt) break;
-    noise /= (double)cnt;
-    if (std::fabs(thresh - 1.001 * noise) < 1e-12 * thresh) break;
-    thresh = 1.001 * noise;
+    mu /= (double)cnt;
+    m2 /= (double)cnt;
+    double sd = std::sqrt(std::max(m2 - mu * mu, 0.0));
+    double nt = mu + 2.0 * sd;
+    if (std::fabs(thresh - nt) < 1e-12 * thresh) break;
+    thresh = nt;
   }
   std::vector<char> active(nwin);
   for (long i = 0; i < nwin; i++) active[i] = vad[i] > thresh;
-  for (long i = 1; i + 1 < nwin; i++) {
-    if (!active[i] && active[i - 1] &&
-        (active[std::min(i + 1, nwin - 1)] ||
-         active[std::min(i + 2, nwin - 1)]))
-      active[i] = 1;
+  // drop active runs shorter than 5 windows
+  for (long i = 0; i < nwin;) {
+    if (!active[i]) {
+      i++;
+      continue;
+    }
+    long j = i;
+    while (j < nwin && active[j]) j++;
+    if (j - i < 5)
+      for (long k = i; k < j; k++) active[k] = 0;
+    i = j;
   }
-  for (long i = 1; i + 1 < nwin; i++) {
-    if (active[i] && !active[i - 1] && !active[i + 1]) active[i] = 0;
+  // join inactive gaps of <= MINUTTLENGTH between surviving runs
+  long prev_end = -1;
+  for (long i = 0; i < nwin;) {
+    if (!active[i]) {
+      i++;
+      continue;
+    }
+    long j = i;
+    while (j < nwin && active[j]) j++;
+    if (prev_end >= 0 && i - prev_end <= MINUTTLENGTH)
+      for (long k = prev_end; k < i; k++) active[k] = 1;
+    prev_end = j;
+    i = j;
+  }
+  // 0.3/0.1 edge extension on the (joined) runs
+  std::vector<double> out = vad;
+  std::vector<char> act2 = active;
+  for (long i = 0; i < nwin;) {
+    if (!active[i]) {
+      i++;
+      continue;
+    }
+    long j = i;
+    while (j < nwin && active[j]) j++;
+    if (i - 1 >= 0) {
+      out[i - 1] = 0.3 * vad[i];
+      act2[i - 1] = 1;
+    }
+    if (i - 2 >= 0) {
+      out[i - 2] = 0.1 * vad[i];
+      act2[i - 2] = 1;
+    }
+    if (j < nwin) {
+      out[j] = 0.3 * vad[j - 1];
+      act2[j] = 1;
+    }
+    if (j + 1 < nwin) {
+      out[j + 1] = 0.1 * vad[j - 1];
+      act2[j + 1] = 1;
+    }
+    i = j;
   }
   logvad.assign(nwin, 0.0);
   for (long i = 0; i < nwin; i++) {
-    if (active[i])
-      logvad[i] = std::max(std::log(std::max(vad[i] / thresh, 1e-30)), 0.0);
+    vad[i] = act2[i] ? out[i] : 0.0;
+    if (vad[i] > thresh)
+      logvad[i] = std::log(std::max(vad[i] / thresh, 1e-30));
   }
 }
 
-long crude_align(const std::vector<double>& lv_ref,
-                 const std::vector<double>& lv_deg) {
-  long n = (long)std::max(lv_ref.size(), lv_deg.size());
-  long pow2 = next_pow2(2 * n);
-  auto R = rfft(lv_ref.data(), (long)lv_ref.size(), pow2);
-  auto D = rfft(lv_deg.data(), (long)lv_deg.size(), pow2);
-  std::vector<std::complex<double>> prod(R.size());
-  for (size_t k = 0; k < R.size(); k++) prod[k] = std::conj(R[k]) * D[k];
-  auto corr = irfft(prod, pow2);
+// Full linear cross-correlation (P.862 FFTNXCorr):
+// Y[i] = sum_j x1[j] * x2[i - (n1-1) + j], length n1 + n2 - 1.
+std::vector<double> fft_nx_corr(const double* x1, long n1, const double* x2,
+                                long n2) {
+  long pow2 = next_pow2(n1 + n2 - 1);
+  std::vector<double> a(pow2, 0.0);
+  for (long i = 0; i < n1; i++) a[i] = x1[n1 - 1 - i];
+  auto X1 = rfft(a.data(), pow2, pow2);
+  auto X2 = rfft(x2, n2, pow2);
+  std::vector<std::complex<double>> prod(X1.size());
+  for (size_t k = 0; k < X1.size(); k++) prod[k] = X1[k] * X2[k];
+  auto y = irfft(prod, pow2);
+  y.resize(n1 + n2 - 1);
+  return y;
+}
+
+long crude_align_whole(const std::vector<double>& lv_ref,
+                       const std::vector<double>& lv_deg) {
+  auto y = fft_nx_corr(lv_ref.data(), (long)lv_ref.size(), lv_deg.data(),
+                       (long)lv_deg.size());
   long best = 0;
-  double bv = corr[0];
-  for (long i = 1; i < pow2; i++)
-    if (corr[i] > bv) {
-      bv = corr[i];
-      best = i;
+  for (long i = 1; i < (long)y.size(); i++)
+    if (y[i] > y[best]) best = i;
+  if (y[best] <= 0.0) return 0;
+  return (best - ((long)lv_ref.size() - 1)) * P862_DOWNSAMPLE;
+}
+
+long crude_subalign(const std::vector<double>& lv_ref,
+                    const std::vector<double>& lv_deg, long startr, long nr,
+                    long startd, long nd) {
+  if (nr <= 1 || nd <= 1) return 0;
+  auto y = fft_nx_corr(lv_ref.data() + startr, nr, lv_deg.data() + startd, nd);
+  long best = 0;
+  for (long i = 1; i < (long)y.size(); i++)
+    if (y[i] > y[best]) best = i;
+  if (y[best] <= 0.0) return 0;
+  return (best - (nr - 1)) * P862_DOWNSAMPLE;
+}
+
+long crude_align_utt(const std::vector<double>& lv_ref,
+                     const std::vector<double>& lv_deg, long nd_windows,
+                     long sw_start, long sw_end, long base_delay) {
+  long startr = sw_start;
+  long startd = startr + base_delay / P862_DOWNSAMPLE;
+  if (startd < 0) {
+    startr = -base_delay / P862_DOWNSAMPLE;
+    startd = 0;
+  }
+  long nr_w = sw_end - startr;
+  long nd_w = nr_w;
+  if (startd + nd_w > nd_windows) nd_w = nd_windows - startd;
+  return crude_subalign(lv_ref, lv_deg, startr, nr_w, startd, nd_w) +
+         base_delay;
+}
+
+// P.862 time_align: histogram of windowed cross-correlation peaks.
+void time_align(const std::vector<double>& ref, const std::vector<double>& deg,
+                long nd, long sw_start_w, long sw_end_w, long estdelay,
+                long* out_delay, double* out_conf) {
+  static std::vector<double> window;
+  if ((long)window.size() != ALIGN_NFFT) {
+    window.resize(ALIGN_NFFT);
+    for (long i = 0; i < ALIGN_NFFT; i++)
+      window[i] =
+          0.5 * (1.0 - std::cos(2.0 * M_PI * (double)i / (double)ALIGN_NFFT));
+  }
+  std::vector<double> H(ALIGN_NFFT, 0.0);
+  long startr = sw_start_w * P862_DOWNSAMPLE;
+  long startd = startr + estdelay;
+  if (startd < 0) {
+    startr = -estdelay;
+    startd = 0;
+  }
+  const long end_r = sw_end_w * P862_DOWNSAMPLE;
+  std::vector<double> x1(ALIGN_NFFT), x2(ALIGN_NFFT);
+  while (startd + ALIGN_NFFT <= nd && startr + ALIGN_NFFT <= end_r) {
+    for (long i = 0; i < ALIGN_NFFT; i++) {
+      x1[i] = ref[startr + i] * window[i];
+      x2[i] = deg[startd + i] * window[i];
     }
-  long lag = best < pow2 / 2 ? best : best - pow2;
-  return lag * P862_DOWNSAMPLE;
+    auto X1 = rfft(x1.data(), ALIGN_NFFT, ALIGN_NFFT);
+    auto X2 = rfft(x2.data(), ALIGN_NFFT, ALIGN_NFFT);
+    std::vector<std::complex<double>> prod(X1.size());
+    for (size_t k = 0; k < X1.size(); k++)
+      prod[k] = std::conj(X1[k]) * X2[k];
+    auto corr = irfft(prod, ALIGN_NFFT);
+    double vmax = 0.0;
+    for (long i = 0; i < ALIGN_NFFT; i++) {
+      corr[i] = std::fabs(corr[i]);
+      vmax = std::max(vmax, corr[i]);
+    }
+    vmax *= 0.99;
+    double inc = std::pow(vmax, 0.125);
+    for (long i = 0; i < ALIGN_NFFT; i++)
+      if (corr[i] > vmax) H[i] += inc;
+    startr += ALIGN_NFFT / 4;
+    startd += ALIGN_NFFT / 4;
+  }
+  double hsum = 0.0;
+  for (double h : H) hsum += h;
+  // circular triangular smoothing, half-width ALIGN_NFFT/64
+  const long kernel = ALIGN_NFFT / 64;
+  std::vector<double> sm(ALIGN_NFFT, 0.0);
+  for (long c = 0; c < ALIGN_NFFT; c++) {
+    if (H[c] == 0.0) continue;
+    for (long k = 1 - kernel; k < kernel; k++) {
+      long idx = ((c + k) % ALIGN_NFFT + ALIGN_NFFT) % ALIGN_NFFT;
+      sm[idx] += H[c] * (1.0 - (double)std::labs(k) / (double)kernel);
+    }
+  }
+  long imax = 0;
+  for (long i = 1; i < ALIGN_NFFT; i++)
+    if (sm[i] > sm[imax]) imax = i;
+  double vmax = sm[imax];
+  if (imax >= ALIGN_NFFT / 2) imax -= ALIGN_NFFT;
+  *out_delay = estdelay + imax;
+  *out_conf = hsum > 0.0 ? vmax / hsum : 0.0;
+}
+
+struct Utt {
+  long start_w, end_w;  // body [start, end) in windows
+  long delay;           // samples
+  long delay_est;
+  double conf;
+};
+
+// P.862 id_searchwindows.
+void id_searchwindows(const std::vector<double>& vad_ref, long nr, long nd,
+                      long crude, std::vector<std::pair<long, long>>& wins) {
+  const long vad_length = nr / P862_DOWNSAMPLE;
+  const long del_deg_start = MINUTTLENGTH - crude / P862_DOWNSAMPLE;
+  const long del_deg_end =
+      (nd - crude) / P862_DOWNSAMPLE - MINUTTLENGTH;
+  bool speech = false;
+  long this_start = 0, cur_start = 0;
+  for (long count = 0; count < vad_length; count++) {
+    double v = vad_ref[count];
+    if (v > 0.0 && !speech) {
+      speech = true;
+      this_start = count;
+      cur_start = std::max<long>(count - SEARCHBUFFER, 0);
+    }
+    if ((v == 0.0 || count == vad_length - 1) && speech) {
+      speech = false;
+      long end = std::min(count + SEARCHBUFFER, vad_length - 1);
+      if (count - this_start >= MINUTTLENGTH && this_start < del_deg_end &&
+          count > del_deg_start && (long)wins.size() < MAXNUTTERANCES)
+        wins.push_back({cur_start, end});
+    }
+  }
+}
+
+// P.862 id_utterances.
+void id_utterances(const std::vector<double>& vad_ref, long nr, long nd,
+                   std::vector<Utt>& utts) {
+  const long vad_length = nr / P862_DOWNSAMPLE;
+  const long n_utt = (long)utts.size();
+  if (!n_utt) return;
+  const long del_deg_start =
+      MINUTTLENGTH - utts.front().delay / P862_DOWNSAMPLE;
+  const long del_deg_end =
+      (nd - utts.back().delay) / P862_DOWNSAMPLE - MINUTTLENGTH;
+  std::vector<std::pair<long, long>> bodies;
+  bool speech = false;
+  long this_start = 0;
+  for (long count = 0; count < vad_length; count++) {
+    double v = vad_ref[count];
+    if (v > 0.0 && !speech) {
+      speech = true;
+      this_start = count;
+    }
+    if ((v == 0.0 || count == vad_length - 1) && speech) {
+      speech = false;
+      if (count - this_start >= MINUTTLENGTH && this_start < del_deg_end &&
+          count > del_deg_start && (long)bodies.size() < MAXNUTTERANCES)
+        bodies.push_back({this_start, count});
+    }
+  }
+  long n = std::min((long)bodies.size(), n_utt);
+  utts.resize(n);
+  if (!n) return;
+  for (long i = 0; i < n; i++) {
+    utts[i].start_w = bodies[i].first;
+    utts[i].end_w = bodies[i].second;
+  }
+  utts[0].start_w = SEARCHBUFFER;
+  utts[n - 1].end_w = vad_length - SEARCHBUFFER;
+  for (long u = 1; u < n; u++) {
+    long ts = utts[u].start_w * P862_DOWNSAMPLE;
+    long le = utts[u - 1].end_w * P862_DOWNSAMPLE;
+    long mid = (ts + le) / 2;
+    utts[u].start_w = mid / P862_DOWNSAMPLE;
+    utts[u - 1].end_w = mid / P862_DOWNSAMPLE;
+  }
+  long first = utts[0].start_w * P862_DOWNSAMPLE + utts[0].delay;
+  if (first < SEARCHBUFFER * P862_DOWNSAMPLE)
+    utts[0].start_w = SEARCHBUFFER + (P862_DOWNSAMPLE - 1 - utts[0].delay) /
+                                         P862_DOWNSAMPLE;
+  long last = utts[n - 1].end_w * P862_DOWNSAMPLE + utts[n - 1].delay;
+  if (last > nd - SEARCHBUFFER * P862_DOWNSAMPLE)
+    utts[n - 1].end_w =
+        (nd - utts[n - 1].delay) / P862_DOWNSAMPLE - SEARCHBUFFER;
+  for (long u = 1; u < n; u++) {
+    long ts = utts[u].start_w * P862_DOWNSAMPLE + utts[u].delay;
+    long le = utts[u - 1].end_w * P862_DOWNSAMPLE + utts[u - 1].delay;
+    if (ts < le) {
+      long mid = (ts + le) / 2;
+      utts[u].start_w =
+          (mid + (P862_DOWNSAMPLE - 1) - utts[u].delay) / P862_DOWNSAMPLE;
+      utts[u - 1].end_w = (mid - utts[u - 1].delay) / P862_DOWNSAMPLE;
+    }
+  }
+}
+
+// P.862 split_align: best break point splitting an utterance in two.
+void split_align(const std::vector<double>& ref, const std::vector<double>& deg,
+                 const std::vector<double>& lv_ref,
+                 const std::vector<double>& lv_deg, long nr, long nd,
+                 long utt_start, long speech_start, long speech_end,
+                 long utt_end, long delay_est, double conf, long* ed1,
+                 long* d1, double* dc1, long* ed2, long* d2, double* dc2,
+                 long* best_bp) {
+  const long utt_len = speech_end - speech_start;
+  const long pad = std::max(utt_len / 4, SEARCHBUFFER);
+  const long nd_windows = nd / P862_DOWNSAMPLE;
+  long step = (long)((0.801 * (double)utt_len + 40 * 4 - 1) / (40 * 4));
+  step = std::max<long>(step, 1) * 4;
+  *dc1 = 0.0;
+  *dc2 = 0.0;
+  double best_min = 0.0;
+  for (long bp = speech_start + pad; bp <= speech_end - pad; bp += step) {
+    long e1 = crude_align_utt(lv_ref, lv_deg, nd_windows, utt_start, bp,
+                              delay_est);
+    long dd1;
+    double cc1;
+    time_align(ref, deg, nd, utt_start, bp, e1, &dd1, &cc1);
+    if (cc1 <= conf) continue;
+    long e2 =
+        crude_align_utt(lv_ref, lv_deg, nd_windows, bp, utt_end, delay_est);
+    long dd2;
+    double cc2;
+    time_align(ref, deg, nd, bp, utt_end, e2, &dd2, &cc2);
+    if (cc2 <= conf) continue;
+    double m = std::min(cc1, cc2);
+    if (m > best_min) {
+      best_min = m;
+      *ed1 = e1;
+      *d1 = dd1;
+      *dc1 = cc1;
+      *ed2 = e2;
+      *d2 = dd2;
+      *dc2 = cc2;
+      *best_bp = bp;
+    }
+  }
+}
+
+// Full P.862 utterance chain on the ALIGNMENT-path signals.
+std::vector<Utt> utterance_locate(const std::vector<double>& ref,
+                                  const std::vector<double>& deg,
+                                  const std::vector<double>& vad_ref,
+                                  const std::vector<double>& lv_ref,
+                                  const std::vector<double>& lv_deg, long nr,
+                                  long nd) {
+  long crude = crude_align_whole(lv_ref, lv_deg);
+  std::vector<std::pair<long, long>> wins;
+  id_searchwindows(vad_ref, nr, nd, crude, wins);
+  std::vector<Utt> utts;
+  if (wins.empty()) {
+    Utt u;
+    u.start_w = SEARCHBUFFER;
+    u.end_w = nr / P862_DOWNSAMPLE - SEARCHBUFFER;
+    u.delay = crude;
+    u.delay_est = crude;
+    u.conf = 0.0;
+    utts.push_back(u);
+    return utts;
+  }
+  const long nd_windows = nd / P862_DOWNSAMPLE;
+  for (auto& w : wins) {
+    Utt u;
+    u.delay_est =
+        crude_align_utt(lv_ref, lv_deg, nd_windows, w.first, w.second, crude);
+    time_align(ref, deg, nd, w.first, w.second, u.delay_est, &u.delay,
+               &u.conf);
+    u.start_w = w.first;
+    u.end_w = w.second;
+    utts.push_back(u);
+  }
+  id_utterances(vad_ref, nr, nd, utts);
+
+  const long vad_length = nr / P862_DOWNSAMPLE;
+  long u = 0;
+  while (u < (long)utts.size() && (long)utts.size() <= MAXNUTTERANCES) {
+    long start_w = utts[u].start_w, end_w = utts[u].end_w;
+    long speech_start = start_w;
+    while (speech_start < end_w && vad_ref[speech_start] <= 0.0) speech_start++;
+    long speech_end = end_w;
+    while (speech_end > start_w &&
+           vad_ref[std::min(speech_end, vad_length - 1)] <= 0.0)
+      speech_end--;
+    speech_end++;
+    if (speech_end - speech_start >= MIN_SPLIT_LEN &&
+        (long)utts.size() < MAXNUTTERANCES) {
+      long ed1 = 0, d1 = 0, ed2 = 0, d2 = 0, bp = 0;
+      double dc1 = 0, dc2 = 0;
+      split_align(ref, deg, lv_ref, lv_deg, nr, nd, start_w, speech_start,
+                  speech_end, end_w, utts[u].delay_est, utts[u].conf, &ed1,
+                  &d1, &dc1, &ed2, &d2, &dc2, &bp);
+      if (dc1 > utts[u].conf && dc2 > utts[u].conf) {
+        long end1, start2;
+        if (d2 < d1) {
+          end1 = bp;
+          start2 = bp;
+        } else {
+          long spread = (d2 - d1) / (2 * P862_DOWNSAMPLE);
+          end1 = bp + spread;
+          start2 = bp - spread;
+        }
+        Utt second;
+        second.start_w = start2;
+        second.end_w = end_w;
+        second.delay = d2;
+        second.delay_est = ed2;
+        second.conf = dc2;
+        utts[u].end_w = end1;
+        utts[u].delay = d1;
+        utts[u].delay_est = ed1;
+        utts[u].conf = dc1;
+        utts.insert(utts.begin() + u + 1, second);
+        continue;  // re-examine the first piece
+      }
+    }
+    u++;
+  }
+  return utts;
 }
 
 // P.862 compute_delay on rectified series.
@@ -234,15 +620,7 @@ long compute_delay(const double* t1, const double* t2, long start, long stop,
   return best_lag;
 }
 
-// ---- psychoacoustic model ------------------------------------------------
-
-struct Model {
-  long n_frames;
-  std::vector<double> window;  // NF
-  std::vector<double> ppd_ref, ppd_deg, mod_ref, mod_deg;  // [T][NB]
-  std::vector<double> comp_x;                              // [NB]
-  std::vector<double> ta_ref, scale;                       // [T]
-};
+// ---- psychoacoustic model --------------------------------------------------
 
 void short_term_spec(const std::vector<double>& data,
                      const std::vector<double>& w, long start, double* hz) {
@@ -305,8 +683,7 @@ void frame_disturbances(const double* ppd_ref_row, const double* ppd_deg_row,
   for (int b = 0; b < P862_NB; b++) mod_ref[b] = ppd_ref_row[b] * comp_x[b];
   double ta_r = total_audible(mod_ref, 1.0);
   double ta_d = total_audible(ppd_deg_row, 1.0);
-  double scale =
-      std::min(std::max((ta_r + 5e3) / (ta_d + 5e3), 3e-4), 5.0);
+  double scale = std::min(std::max((ta_r + 5e3) / (ta_d + 5e3), 3e-4), 5.0);
   for (int b = 0; b < P862_NB; b++) mod_deg[b] = ppd_deg_row[b] * scale;
   intensity_warping(mod_ref, loud_r);
   intensity_warping(mod_deg, loud_d);
@@ -323,20 +700,21 @@ void frame_disturbances(const double* ppd_ref_row, const double* ppd_deg_row,
   }
   *out_fd = pseudo_lp(d, 2.0);
   for (int b = 0; b < P862_NB; b++) {
-    double ratio =
-        std::pow((mod_deg[b] + 50.0) / (mod_ref[b] + 50.0), 1.2);
+    double ratio = std::pow((mod_deg[b] + 50.0) / (mod_ref[b] + 50.0), 1.2);
     double asym = ratio < 3.0 ? 0.0 : std::min(ratio, 12.0);
     d[b] *= asym;
   }
   *out_fda = pseudo_lp(d, 1.0);
 }
 
-double lpq_weight(const std::vector<double>& fd) {
-  const int SYL = 20;
+// P.862 Lpq_weight over frames [start_frame, stop_frame] inclusive.
+double lpq_weight(const std::vector<double>& fd, long start_frame,
+                  long stop_frame) {
+  const long SYL = 20;
   double result_time = 0.0, total_w = 0.0;
-  for (long start = 0; start < (long)fd.size(); start += SYL / 2) {
+  for (long start = start_frame; start <= stop_frame; start += SYL / 2) {
     double r = 0.0;
-    long end = std::min<long>(start + SYL, (long)fd.size());
+    long end = std::min(start + SYL, stop_frame + 1);
     if (end <= start) continue;
     for (long f = start; f < end; f++) r += std::pow(fd[f], 6.0);
     r = std::pow(r / (double)SYL, 1.0 / 6.0);
@@ -346,31 +724,68 @@ double lpq_weight(const std::vector<double>& fd) {
   return std::sqrt(result_time / total_w);
 }
 
-double psychoacoustic_model(const Padded& ref, const Padded& deg, long nsamples,
-                            long delay) {
+double psychoacoustic_model(const std::vector<double>& ref,
+                            const std::vector<double>& deg, long max_n,
+                            long nd, const std::vector<Utt>& utts) {
   const long buf = SEARCHBUFFER * P862_DOWNSAMPLE;
-  const long n_frames = (nsamples - 2 * buf) / (NF / 2) - 1;
+
+  // leading/trailing silence scans (sum of 5 |samples| >= 500)
+  long skip_start = 0;
+  const long limit = max_n / 2;
+  while (skip_start < limit) {
+    double s5 = 0.0;
+    for (int i = 0; i < 5; i++)
+      s5 += std::fabs(ref[buf + skip_start + i]);
+    if (s5 >= CRIT_SILENCE_5) break;
+    skip_start++;
+  }
+  const long anchor = max_n - buf + dp_samples() - 1;
+  long skip_end = 0;
+  while (skip_end < limit) {
+    long lo = anchor - skip_end - 4;
+    if (lo < 0) break;
+    double s5 = 0.0;
+    for (int i = 0; i < 5; i++) s5 += std::fabs(ref[lo + i]);
+    if (s5 >= CRIT_SILENCE_5) break;
+    skip_end++;
+  }
+  const long start_frame = skip_start / (NF / 2);
+  const long n_frames =
+      (max_n - 2 * buf + dp_samples() - skip_end) / (NF / 2);
+
   std::vector<double> w(NF);
   for (long i = 0; i < NF; i++)
     w[i] = 0.5 * (1.0 - std::cos(2.0 * M_PI * (double)i / (double)NF));
 
+  // per-frame delay from the utterance table
+  std::vector<long> fdel(n_frames);
+  for (long f = 0; f < n_frames; f++) {
+    long sr = buf + f * (NF / 2);
+    long u = (long)utts.size() - 1;
+    while (u >= 0 && utts[u].start_w * P862_DOWNSAMPLE > sr) u--;
+    fdel[f] = utts[std::max<long>(u, 0)].delay;
+  }
+
   std::vector<double> ppd_ref(n_frames * P862_NB), ppd_deg(n_frames * P862_NB);
   std::vector<double> hz(NF / 2);
   std::vector<char> silent(n_frames);
-  const long deg_len = (long)deg.data.size();
+  const long dlim = max_n + dp_samples();
   for (long f = 0; f < n_frames; f++) {
     long sr = buf + f * (NF / 2);
-    short_term_spec(ref.data, w, sr, hz.data());
+    short_term_spec(ref, w, sr, hz.data());
     freq_warping(hz.data(), &ppd_ref[f * P862_NB]);
-    long sd = sr + delay;
-    if (sd < 0) sd = 0;
-    if (sd + NF > deg_len) sd = deg_len - NF;
-    short_term_spec(deg.data, w, sd, hz.data());
-    freq_warping(hz.data(), &ppd_deg[f * P862_NB]);
+    long sd = sr + fdel[f];
+    if (sd > 0 && sd + NF < dlim) {
+      short_term_spec(deg, w, sd, hz.data());
+      freq_warping(hz.data(), &ppd_deg[f * P862_NB]);
+    } else {
+      std::fill(&ppd_deg[f * P862_NB], &ppd_deg[(f + 1) * P862_NB], 0.0);
+    }
     silent[f] = total_audible(&ppd_ref[f * P862_NB], 1e2) < 1e7;
   }
 
-  // time-averaged audible spectra (per-band 100x threshold gating)
+  // time-averaged audible spectra; divisor = (maxN-2buf+dp)/(Nf/2) - 1
+  const long n_total = (max_n - 2 * buf + dp_samples()) / (NF / 2) - 1;
   std::vector<double> avg_ref(P862_NB, 0.0), avg_deg(P862_NB, 0.0);
   for (long f = 0; f < n_frames; f++) {
     if (silent[f]) continue;
@@ -383,8 +798,8 @@ double psychoacoustic_model(const Padded& ref, const Padded& deg, long nsamples,
   }
   std::vector<double> comp_x(P862_NB);
   for (int b = 0; b < P862_NB; b++) {
-    avg_ref[b] /= (double)n_frames;
-    avg_deg[b] /= (double)n_frames;
+    avg_ref[b] /= (double)n_total;
+    avg_deg[b] /= (double)n_total;
     comp_x[b] = std::min(
         std::max((avg_deg[b] + 1000.0) / (avg_ref[b] + 1000.0), 0.01), 100.0);
   }
@@ -435,24 +850,46 @@ double psychoacoustic_model(const Padded& ref, const Padded& deg, long nsamples,
     fda[f] = pseudo_lp(d.data(), 1.0);
   }
 
-  // bad-interval realignment on the raw disturbances
+  // signal-repetition amnesty on delay decreases > Nf/2
+  std::vector<char> forced_bad(n_frames, 0);
+  for (long u = 1; u < (long)utts.size(); u++) {
+    long jump = utts[u].delay - utts[u - 1].delay;
+    if (jump >= -(NF / 2)) continue;
+    long sf_next = div_trunc(
+        (utts[u].start_w - SEARCHBUFFER) * P862_DOWNSAMPLE + utts[u].delay,
+        NF / 2);
+    long sf_prev = div_trunc((utts[u - 1].end_w - SEARCHBUFFER) *
+                                     P862_DOWNSAMPLE +
+                                 utts[u - 1].delay,
+                             NF / 2);
+    long lo = std::max<long>(0, std::min(sf_next, sf_prev));
+    long hi = div_trunc((utts[u].start_w - SEARCHBUFFER) * P862_DOWNSAMPLE +
+                            std::labs(jump),
+                        NF / 2) +
+              1;
+    for (long fr = lo; fr <= hi && fr < n_frames; fr++) {
+      forced_bad[fr] = 1;
+      fd[fr] = 0.0;
+      fda[fr] = 0.0;
+    }
+  }
+
+  // bad-interval reprocessing
   bool any_bad = false;
-  for (long f = 0; f < n_frames; f++)
-    if (fd[f] > THRESHOLD_BAD_FRAMES) any_bad = true;
+  std::vector<char> bad(n_frames);
+  for (long f = 0; f < n_frames; f++) {
+    bad[f] = fd[f] > THRESHOLD_BAD_FRAMES || forced_bad[f];
+    any_bad |= bad[f];
+  }
   if (any_bad) {
-    std::vector<char> bad(n_frames), smeared(n_frames, 0);
-    for (long f = 0; f < n_frames; f++) bad[f] = fd[f] > THRESHOLD_BAD_FRAMES;
-    for (long f = 0; f < n_frames; f++) {
-      long lo = std::max<long>(0, f - SMEAR_RANGE);
-      long hi = std::min<long>(n_frames, f + SMEAR_RANGE + 1);
+    std::vector<char> smeared(n_frames, 0);
+    for (long f = SMEAR_RANGE; f < n_frames - SMEAR_RANGE; f++) {
       bool left = false, right = false;
-      for (long i = lo; i <= f; i++) left |= bad[i];
-      for (long i = f; i < hi; i++) right |= bad[i];
+      for (long i = f - SMEAR_RANGE; i <= f; i++) left |= bad[i];
+      for (long i = f; i <= f + SMEAR_RANGE; i++) right |= bad[i];
       smeared[f] = left && right;
     }
-    const long active_lo = buf;
-    const long active_hi =
-        std::min((long)ref.data.size(), (long)deg.data.size()) - buf;
+    const long hop = NF / 2;
     long f = 0;
     while (f < n_frames) {
       if (!smeared[f]) {
@@ -462,31 +899,44 @@ double psychoacoustic_model(const Padded& ref, const Padded& deg, long nsamples,
       long g = f;
       while (g < n_frames && smeared[g]) g++;
       if (g - f >= MIN_BAD_INTERVAL) {
-        long s0 = buf + f * (NF / 2);
-        long s1 = buf + (g - 1) * (NF / 2) + NF;
-        long m = (s1 - s0) + 2 * BAD_INTERVAL_SEARCH;
-        std::vector<double> seg_ref(m), seg_deg(m);
+        long s0 = buf + f * hop;
+        long s1 = buf + (g - 1) * hop + NF;
+        long lo = s0 - BAD_INTERVAL_SEARCH;
+        long hi = s1 + BAD_INTERVAL_SEARCH;
+        long m = hi - lo;
+        // per-sample time-aligned deg copy over the extended window
+        std::vector<double> tweaked(m), seg_ref(m);
         for (long i = 0; i < m; i++) {
-          long idx = s0 - BAD_INTERVAL_SEARCH + i;
-          long ic = std::min(std::max(idx, active_lo), active_hi - 1);
-          seg_ref[i] = ref.data[ic];
-          long idd = std::min(std::max(idx + delay, active_lo), active_hi - 1);
-          seg_deg[i] = deg.data[idd];
+          long idx = lo + i;
+          long fr = std::min(std::max((idx - buf) / hop, 0L), n_frames - 1);
+          long j = std::min(std::max(idx + fdel[fr], buf), nd - buf - 1);
+          tweaked[i] = deg[j];
+          long ic = std::min(std::max(idx, 0L), (long)ref.size() - 1);
+          seg_ref[i] = ref[ic];
         }
         double corr;
-        long delta = compute_delay(seg_ref.data(), seg_deg.data(), 0, m,
+        long delta = compute_delay(seg_ref.data(), tweaked.data(), 0, m,
                                    BAD_INTERVAL_SEARCH, &corr);
         if (corr < 0.5) delta = 0;
         if (delta != 0) {
-          long new_delay = delay + delta;
           std::vector<double> hz_r(NF / 2), hz_d(NF / 2);
           double row_r[64], row_d[64];
+          std::vector<double> dwin(NF);
           for (long fr = f; fr < g; fr++) {
-            long sr = buf + fr * (NF / 2);
-            long sd = sr + new_delay;
-            if (sd < 0 || sd + NF > deg_len) continue;
-            short_term_spec(ref.data, w, sr, hz_r.data());
-            short_term_spec(deg.data, w, sd, hz_d.data());
+            long sr = buf + fr * hop;
+            long off = sr - lo + delta;
+            if (off < 0 || off + NF > m) continue;
+            short_term_spec(ref, w, sr, hz_r.data());
+            for (long i = 0; i < NF; i++) dwin[i] = tweaked[off + i];
+            // windowed spectrum of the doubly-tweaked copy
+            {
+              std::vector<std::complex<double>> a(NF);
+              for (long i = 0; i < NF; i++) a[i] = {dwin[i] * w[i], 0.0};
+              fft(a, false);
+              for (long k = 0; k < NF / 2; k++)
+                hz_d[k] =
+                    a[k].real() * a[k].real() + a[k].imag() * a[k].imag();
+            }
             freq_warping(hz_r.data(), row_r);
             freq_warping(hz_d.data(), row_d);
             double nfd, nfda;
@@ -506,8 +956,8 @@ double psychoacoustic_model(const Padded& ref, const Padded& deg, long nsamples,
     fd[f] = std::min(fd[f] / h, 45.0);
     fda[f] = std::min(fda[f] / h, 45.0);
   }
-  double d_ind = lpq_weight(fd);
-  double a_ind = lpq_weight(fda);
+  double d_ind = lpq_weight(fd, start_frame, n_frames - 1);
+  double a_ind = lpq_weight(fda, start_frame, n_frames - 1);
   return 4.5 - 0.1 * d_ind - 0.0309 * a_ind;
 }
 
@@ -516,32 +966,40 @@ double psychoacoustic_model(const Padded& ref, const Padded& deg, long nsamples,
 extern "C" double pesq_measure_wb(const double* clean, const double* degraded,
                                   long nclean, long ndeg, long fs) {
   (void)fs;  // 16 kHz model
-  Padded ref = pad_signal(clean, nclean);
-  Padded deg = pad_signal(degraded, ndeg);
+  // reserve extra tail so model frames over max(nr, nd) stay in range
+  const long extra = std::labs(nclean - ndeg) + NF;
+  Padded ref = pad_signal(clean, nclean, extra);
+  Padded deg = pad_signal(degraded, ndeg, extra);
+  const long nr = ref.nsamples, nd = deg.nsamples;
 
   fix_power_level(ref);
   fix_power_level(deg);
-  iir_wb(ref);
-  iir_wb(deg);
-  dc_block(ref);
-  dc_block(deg);
 
-  std::vector<double> lv_ref, lv_deg;
-  apply_vad(ref, lv_ref);
-  apply_vad(deg, lv_deg);
-  long delay = crude_align(lv_ref, lv_deg);
+  // MODEL path: DC block + the P.862.2 wideband input filter over the
+  // active region only
+  static const double kWbSos[1][5] = {
+      {P862_WB_IIR_SOS[0], P862_WB_IIR_SOS[1], P862_WB_IIR_SOS[2],
+       P862_WB_IIR_SOS[3], P862_WB_IIR_SOS[4]}};
+  dc_block(ref.data, nr);
+  dc_block(deg.data, nd);
+  iir_sos_active(ref.data, nr, kWbSos, 1);
+  iir_sos_active(deg.data, nd, kWbSos, 1);
 
-  const long n = std::min(ref.nsamples, deg.nsamples);
-  const long buf = SEARCHBUFFER * P862_DOWNSAMPLE;
-  // sample-accurate refinement of the crude delay
-  long lo = buf, hi = n - buf;
-  if (lo + delay >= 0 && hi + delay <= (long)deg.data.size()) {
-    double corr;
-    long fine = compute_delay(ref.data.data() + lo, deg.data.data() + lo + delay,
-                              0, hi - lo, 2 * P862_DOWNSAMPLE, &corr);
-    if (corr >= 0.5) delay += fine;
-  }
+  // ALIGNMENT path: a copy gets another DC block + the standard
+  // 12-section input filter; VAD + all time alignment run on it
+  std::vector<double> ref_a = ref.data, deg_a = deg.data;
+  dc_block(ref_a, nr);
+  dc_block(deg_a, nd);
+  iir_sos_active(ref_a, nr, P862_STD_IIR_SOS, P862_STD_IIR_NSOS);
+  iir_sos_active(deg_a, nd, P862_STD_IIR_SOS, P862_STD_IIR_NSOS);
 
-  double raw = psychoacoustic_model(ref, deg, n, delay);
+  std::vector<double> vad_ref, lv_ref, vad_deg, lv_deg;
+  apply_vad(ref_a, nr, vad_ref, lv_ref);
+  apply_vad(deg_a, nd, vad_deg, lv_deg);
+
+  auto utts = utterance_locate(ref_a, deg_a, vad_ref, lv_ref, lv_deg, nr, nd);
+
+  const long max_n = std::max(nr, nd);
+  double raw = psychoacoustic_model(ref.data, deg.data, max_n, nd, utts);
   return 0.999 + 4.0 / (1.0 + std::exp(-1.3669 * raw + 3.8224));
 }
