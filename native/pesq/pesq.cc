@@ -14,6 +14,8 @@
 #include <algorithm>
 #include <cmath>
 #include <cstring>
+#include <map>
+#include <utility>
 #include <vector>
 
 #include "fftr.h"
@@ -299,10 +301,34 @@ long crude_align_utt(const std::vector<double>& lv_ref,
          base_delay;
 }
 
+// Caches for time_align: windowed rFFTs keyed by start sample, and
+// per-(startr, startd) histogram contributions (sparse).  split_align
+// evaluates ~40 break points whose window pairs massively overlap, so
+// caching turns its cost from O(BPs * windows * FFT) into O(windows * FFT).
+struct TAContribution {
+  double inc;
+  std::vector<int> bins;
+};
+struct TACache {
+  std::map<long, std::vector<std::complex<double>>> ref_fft, deg_fft;
+  std::map<std::pair<long, long>, TAContribution> pair;
+};
+
+const std::vector<std::complex<double>>& windowed_fft(
+    const std::vector<double>& x, long start, const std::vector<double>& w,
+    std::map<long, std::vector<std::complex<double>>>& cache) {
+  auto it = cache.find(start);
+  if (it != cache.end()) return it->second;
+  std::vector<double> buf(ALIGN_NFFT);
+  for (long i = 0; i < ALIGN_NFFT; i++) buf[i] = x[start + i] * w[i];
+  return cache.emplace(start, rfft(buf.data(), ALIGN_NFFT, ALIGN_NFFT))
+      .first->second;
+}
+
 // P.862 time_align: histogram of windowed cross-correlation peaks.
 void time_align(const std::vector<double>& ref, const std::vector<double>& deg,
                 long nd, long sw_start_w, long sw_end_w, long estdelay,
-                long* out_delay, double* out_conf) {
+                long* out_delay, double* out_conf, TACache* cache) {
   static std::vector<double> window;
   if ((long)window.size() != ALIGN_NFFT) {
     window.resize(ALIGN_NFFT);
@@ -318,27 +344,31 @@ void time_align(const std::vector<double>& ref, const std::vector<double>& deg,
     startd = 0;
   }
   const long end_r = sw_end_w * P862_DOWNSAMPLE;
-  std::vector<double> x1(ALIGN_NFFT), x2(ALIGN_NFFT);
   while (startd + ALIGN_NFFT <= nd && startr + ALIGN_NFFT <= end_r) {
-    for (long i = 0; i < ALIGN_NFFT; i++) {
-      x1[i] = ref[startr + i] * window[i];
-      x2[i] = deg[startd + i] * window[i];
+    const TAContribution* contrib = nullptr;
+    TAContribution local;
+    std::pair<long, long> key{startr, startd};
+    auto it = cache->pair.find(key);
+    if (it != cache->pair.end()) contrib = &it->second;
+    if (!contrib) {
+      const auto& X1 = windowed_fft(ref, startr, window, cache->ref_fft);
+      const auto& X2 = windowed_fft(deg, startd, window, cache->deg_fft);
+      std::vector<std::complex<double>> prod(X1.size());
+      for (size_t k = 0; k < X1.size(); k++)
+        prod[k] = std::conj(X1[k]) * X2[k];
+      auto corr = irfft(prod, ALIGN_NFFT);
+      double vmax = 0.0;
+      for (long i = 0; i < ALIGN_NFFT; i++) {
+        corr[i] = std::fabs(corr[i]);
+        vmax = std::max(vmax, corr[i]);
+      }
+      vmax *= 0.99;
+      local.inc = std::pow(vmax, 0.125);
+      for (long i = 0; i < ALIGN_NFFT; i++)
+        if (corr[i] > vmax) local.bins.push_back((int)i);
+      contrib = &cache->pair.emplace(key, std::move(local)).first->second;
     }
-    auto X1 = rfft(x1.data(), ALIGN_NFFT, ALIGN_NFFT);
-    auto X2 = rfft(x2.data(), ALIGN_NFFT, ALIGN_NFFT);
-    std::vector<std::complex<double>> prod(X1.size());
-    for (size_t k = 0; k < X1.size(); k++)
-      prod[k] = std::conj(X1[k]) * X2[k];
-    auto corr = irfft(prod, ALIGN_NFFT);
-    double vmax = 0.0;
-    for (long i = 0; i < ALIGN_NFFT; i++) {
-      corr[i] = std::fabs(corr[i]);
-      vmax = std::max(vmax, corr[i]);
-    }
-    vmax *= 0.99;
-    double inc = std::pow(vmax, 0.125);
-    for (long i = 0; i < ALIGN_NFFT; i++)
-      if (corr[i] > vmax) H[i] += inc;
+    for (int b : contrib->bins) H[b] += contrib->inc;
     startr += ALIGN_NFFT / 4;
     startd += ALIGN_NFFT / 4;
   }
@@ -461,11 +491,11 @@ void id_utterances(const std::vector<double>& vad_ref, long nr, long nd,
 // P.862 split_align: best break point splitting an utterance in two.
 void split_align(const std::vector<double>& ref, const std::vector<double>& deg,
                  const std::vector<double>& lv_ref,
-                 const std::vector<double>& lv_deg, long nr, long nd,
+                 const std::vector<double>& lv_deg, long /*nr*/, long nd,
                  long utt_start, long speech_start, long speech_end,
                  long utt_end, long delay_est, double conf, long* ed1,
                  long* d1, double* dc1, long* ed2, long* d2, double* dc2,
-                 long* best_bp) {
+                 long* best_bp, TACache* cache) {
   const long utt_len = speech_end - speech_start;
   const long pad = std::max(utt_len / 4, SEARCHBUFFER);
   const long nd_windows = nd / P862_DOWNSAMPLE;
@@ -479,13 +509,13 @@ void split_align(const std::vector<double>& ref, const std::vector<double>& deg,
                               delay_est);
     long dd1;
     double cc1;
-    time_align(ref, deg, nd, utt_start, bp, e1, &dd1, &cc1);
+    time_align(ref, deg, nd, utt_start, bp, e1, &dd1, &cc1, cache);
     if (cc1 <= conf) continue;
     long e2 =
         crude_align_utt(lv_ref, lv_deg, nd_windows, bp, utt_end, delay_est);
     long dd2;
     double cc2;
-    time_align(ref, deg, nd, bp, utt_end, e2, &dd2, &cc2);
+    time_align(ref, deg, nd, bp, utt_end, e2, &dd2, &cc2, cache);
     if (cc2 <= conf) continue;
     double m = std::min(cc1, cc2);
     if (m > best_min) {
@@ -509,6 +539,7 @@ std::vector<Utt> utterance_locate(const std::vector<double>& ref,
                                   const std::vector<double>& lv_deg, long nr,
                                   long nd) {
   long crude = crude_align_whole(lv_ref, lv_deg);
+  TACache cache;
   std::vector<std::pair<long, long>> wins;
   id_searchwindows(vad_ref, nr, nd, crude, wins);
   std::vector<Utt> utts;
@@ -528,7 +559,7 @@ std::vector<Utt> utterance_locate(const std::vector<double>& ref,
     u.delay_est =
         crude_align_utt(lv_ref, lv_deg, nd_windows, w.first, w.second, crude);
     time_align(ref, deg, nd, w.first, w.second, u.delay_est, &u.delay,
-               &u.conf);
+               &u.conf, &cache);
     u.start_w = w.first;
     u.end_w = w.second;
     utts.push_back(u);
@@ -552,7 +583,7 @@ std::vector<Utt> utterance_locate(const std::vector<double>& ref,
       double dc1 = 0, dc2 = 0;
       split_align(ref, deg, lv_ref, lv_deg, nr, nd, start_w, speech_start,
                   speech_end, end_w, utts[u].delay_est, utts[u].conf, &ed1,
-                  &d1, &dc1, &ed2, &d2, &dc2, &bp);
+                  &d1, &dc1, &ed2, &d2, &dc2, &bp, &cache);
       if (dc1 > utts[u].conf && dc2 > utts[u].conf) {
         long end1, start2;
         if (d2 < d1) {
