@@ -1,16 +1,18 @@
-"""Benchmark: DCCRN train-step throughput (3-s utterances / sec / chip).
+"""Benchmark: DCCRN train & enhance throughput (3-s utterances / sec / chip).
 
 Runs the flagship configuration (DCCRN, complex LSTM, E-mask, SDR loss,
-3-second 16 kHz utterances — reference defaults config.py:35-58) as a
-jitted train step on the available accelerator and prints ONE JSON line.
-Batch 40 is the measured single-chip throughput sweet spot on v5e (the
-reference default of 10 underutilises the chip; 64+ exceeds HBM without
-rematerialisation); the metric is utterances/sec/chip either way.
+3-second 16 kHz utterances — reference defaults config.py:35-58) as jitted
+steps on the available accelerator and prints one JSON line per metric
+(train last — it is the headline number).
 
-``vs_baseline`` compares against the PyTorch reference architecture
-executed on this host's CPU (tools/measure_torch_baseline.py; recorded in
-BASELINE.md) — the only measurable reference since the upstream repo
-publishes no numbers (SURVEY.md section 6).
+Batch sizes are the measured single-chip sweet spots on v5e (round 2:
+B=112 train / B=96 enhance with the block-kernel complex convs; the
+reference default of 10 underutilises the chip).
+
+``vs_baseline`` compares against the strongest measurable PyTorch
+reference-architecture run on this host (tools/measure_torch_baseline.py,
+recorded in BASELINE.md) — the upstream repo publishes no numbers
+(SURVEY.md section 6).
 """
 
 from __future__ import annotations
@@ -20,9 +22,13 @@ import time
 
 import numpy as np
 
-# torch-CPU reference DCCRN train-step throughput on this host
-# (tools/measure_torch_baseline.py; 1-core CPU), utterances/sec.
-BASELINE_UTT_PER_SEC = 0.100
+# torch-CPU reference DCCRN throughput on this host (1-core; eager beats
+# torch.compile here — tools/measure_torch_baseline.py), utterances/sec.
+BASELINE_TRAIN_UTT_PER_SEC = 0.155
+BASELINE_ENHANCE_UTT_PER_SEC = 0.737
+
+TRAIN_BATCH = 112
+ENHANCE_BATCH = 96
 
 
 def main():
@@ -34,37 +40,61 @@ def main():
 
     from se_tpu.config import Config
     from se_tpu.train import create_train_state, make_train_step
+    from se_tpu.train.steps import make_eval_step
 
     cfg = Config()  # DCCRN / SDR / complex / E
     model, state = create_train_state(cfg)
-    step = make_train_step(cfg, model)
-
-    B, L = 40, cfg.stft.fs * 3
+    L = cfg.stft.fs * 3
     rng = np.random.default_rng(0)
-    noisy = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
-    clean = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
     key = jax.random.PRNGKey(0)
 
-    # warmup + compile (float() forces a device sync; block_until_ready is
-    # not reliable on the tunnelled axon platform)
+    def batch(B):
+        return (
+            jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32)),
+            jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32)),
+        )
+
+    # -- enhance (inference) ------------------------------------------------
+    noisy, clean = batch(ENHANCE_BATCH)
+    eval_step = make_eval_step(cfg, model)
+    m, out = eval_step(state, noisy, clean)
+    float(m["loss"])  # sync (block_until_ready unreliable on axon)
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        m, out = eval_step(state, noisy, clean)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+    enh = ENHANCE_BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dccrn_enhance_utterances_per_sec_per_chip",
+                "value": round(enh, 3),
+                "unit": "3s-utterances/sec/chip",
+                "vs_baseline": round(enh / BASELINE_ENHANCE_UTT_PER_SEC, 3),
+            }
+        )
+    )
+
+    # -- train ----------------------------------------------------------------
+    noisy, clean = batch(TRAIN_BATCH)
+    step = make_train_step(cfg, model)
     state, m = step(state, noisy, clean, key)
     float(m["loss"])
-
-    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, m = step(state, noisy, clean, key)
     float(m["loss"])
     dt = (time.perf_counter() - t0) / n_iters
-
-    utt_per_sec = B / dt
+    tr = TRAIN_BATCH / dt
     print(
         json.dumps(
             {
                 "metric": "dccrn_train_utterances_per_sec_per_chip",
-                "value": round(utt_per_sec, 3),
+                "value": round(tr, 3),
                 "unit": "3s-utterances/sec/chip",
-                "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),
+                "vs_baseline": round(tr / BASELINE_TRAIN_UTT_PER_SEC, 3),
             }
         )
     )
