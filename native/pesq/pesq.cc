@@ -104,17 +104,14 @@ void fix_power_level(Padded& p) {
   for (auto& v : p.data) v *= g;
 }
 
-// IIR biquad cascade over [0, nsamples - buf) only; the trailing search
-// buffer and datapadding stay zero (matches the oracle's buffers).
-void iir_sos_active(std::vector<double>& data, long nsamples,
-                    const double (*sos)[5], int nsec) {
-  const long buf = SEARCHBUFFER * P862_DOWNSAMPLE;
-  const long n = nsamples - buf;
+// IIR biquad cascade over data[start, start + n), zero initial state.
+void iir_sos_range(std::vector<double>& data, long start, long n,
+                   const double (*sos)[5], int nsec) {
   for (int s = 0; s < nsec; s++) {
     const double b0 = sos[s][0], b1 = sos[s][1], b2 = sos[s][2],
                  a1 = sos[s][3], a2 = sos[s][4];
     double x1 = 0, x2 = 0, y1 = 0, y2 = 0;
-    for (long i = 0; i < n; i++) {
+    for (long i = start; i < start + n; i++) {
       double x0 = data[i];
       double y0 = b0 * x0 + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2;
       x2 = x1;
@@ -124,6 +121,24 @@ void iir_sos_active(std::vector<double>& data, long nsamples,
       data[i] = y0;
     }
   }
+}
+
+// P.862.2 wideband model-path input filtering: zero the samples just
+// outside the active region, 15-sample linear fades at the active-region
+// edges, then the single-section wideband IIR over exactly
+// [buf, nsamples - buf) (decoded from the reference binary's
+// pesq_measure).
+void taper_and_wb_filter(std::vector<double>& data, long nsamples,
+                         const double (*sos)[5]) {
+  const long buf = SEARCHBUFFER * P862_DOWNSAMPLE;
+  data[buf - 1] = 0.0;
+  data[nsamples - buf] = 0.0;
+  for (long k = 0; k < 15; k++) {
+    double ramp = (double)(k + 1) / 16.0;
+    data[buf + k] *= ramp;
+    data[nsamples - buf - 1 - k] *= ramp;
+  }
+  iir_sos_range(data, buf, nsamples - 2 * buf, sos, 1);
 }
 
 void dc_block(std::vector<double>& data, long nsamples) {
@@ -162,7 +177,8 @@ void apply_vad(const std::vector<double>& data, long nsamples,
   }
   thresh /= (double)nwin;
   double level_min = vmax * 1e-4;
-  if (level_min > 0) {
+  const bool clamped = level_min > 0;
+  if (clamped) {
     for (auto& v : vad) v = std::max(v, level_min);
   }
   for (int it = 0; it < 12; it++) {
@@ -182,6 +198,10 @@ void apply_vad(const std::vector<double>& data, long nsamples,
     if (std::fabs(thresh - nt) < 1e-12 * thresh) break;
     thresh = nt;
   }
+  // in exact arithmetic the refined threshold can never fall below the
+  // clamp floor (every member of the below-population is >= level_min);
+  // enforce it so float rounding can't flip clamped-silent windows active
+  if (clamped) thresh = std::max(thresh, level_min);
   std::vector<char> active(nwin);
   for (long i = 0; i < nwin; i++) active[i] = vad[i] > thresh;
   // drop active runs shorter than 5 windows
@@ -496,15 +516,25 @@ void split_align(const std::vector<double>& ref, const std::vector<double>& deg,
                  long utt_end, long delay_est, double conf, long* ed1,
                  long* d1, double* dc1, long* ed2, long* d2, double* dc2,
                  long* best_bp, TACache* cache) {
+  // Candidate grid and acceptance per the Recommendation: break points
+  // start at speech_start + max(len/10, SEARCHBUFFER) with the first
+  // candidate always evaluated (at most 41); a candidate qualifies only
+  // when the halves' delays differ by at least one downsample window and
+  // both confidences beat the whole utterance's; the winner maximises the
+  // SUM of the two confidences.
   const long utt_len = speech_end - speech_start;
-  const long pad = std::max(utt_len / 4, SEARCHBUFFER);
+  const long pad = std::max(utt_len / 10, SEARCHBUFFER);
   const long nd_windows = nd / P862_DOWNSAMPLE;
   long step = (long)((0.801 * (double)utt_len + 40 * 4 - 1) / (40 * 4));
   step = std::max<long>(step, 1) * 4;
   *dc1 = 0.0;
   *dc2 = 0.0;
-  double best_min = 0.0;
-  for (long bp = speech_start + pad; bp <= speech_end - pad; bp += step) {
+  std::vector<long> bps;
+  bps.push_back(speech_start + pad);
+  while (bps.back() + step <= speech_end - pad && (long)bps.size() < 41)
+    bps.push_back(bps.back() + step);
+  double best_sum = 0.0;
+  for (long bp : bps) {
     long e1 = crude_align_utt(lv_ref, lv_deg, nd_windows, utt_start, bp,
                               delay_est);
     long dd1;
@@ -517,9 +547,9 @@ void split_align(const std::vector<double>& ref, const std::vector<double>& deg,
     double cc2;
     time_align(ref, deg, nd, bp, utt_end, e2, &dd2, &cc2, cache);
     if (cc2 <= conf) continue;
-    double m = std::min(cc1, cc2);
-    if (m > best_min) {
-      best_min = m;
+    if (std::labs(dd1 - dd2) < P862_DOWNSAMPLE) continue;
+    if (cc1 + cc2 > best_sum) {
+      best_sum = cc1 + cc2;
       *ed1 = e1;
       *d1 = dd1;
       *dc1 = cc1;
@@ -594,9 +624,20 @@ std::vector<Utt> utterance_locate(const std::vector<double>& ref,
           end1 = bp + spread;
           start2 = bp - spread;
         }
+        // post-split boundary clamps (P.862 utterance_split): keep the
+        // first piece's deg start and the second piece's deg end inside
+        // the degraded buffer
+        long new_start = start_w, new_end = end_w;
+        if ((new_start - SEARCHBUFFER) * P862_DOWNSAMPLE + d1 < 0)
+          new_start =
+              SEARCHBUFFER + (P862_DOWNSAMPLE - 1 - d1) / P862_DOWNSAMPLE;
+        if (new_end * P862_DOWNSAMPLE + d2 >
+            nd - SEARCHBUFFER * P862_DOWNSAMPLE)
+          new_end = (nd - d2) / P862_DOWNSAMPLE - SEARCHBUFFER;
+        utts[u].start_w = new_start;
         Utt second;
         second.start_w = start2;
-        second.end_w = end_w;
+        second.end_w = new_end;
         second.delay = d2;
         second.delay_est = ed2;
         second.conf = dc2;
@@ -707,14 +748,20 @@ double pseudo_lp(const double* d, double p) {
   return std::pow(res / total_w, 1.0 / p) * total_w;
 }
 
+// Raw disturbance of one frame inside a bad interval.  ta_ref is the
+// frame's stored compensated-reference total audible power from the main
+// pass; the short-term gain uses the P.862 0.2/0.8 smoothing carried
+// across the interval (*old_scale in/out, stored pre-clamp).
 void frame_disturbances(const double* ppd_ref_row, const double* ppd_deg_row,
-                        const double* comp_x, double* out_fd,
+                        const double* comp_x, double ta_ref,
+                        double* old_scale, double* out_fd,
                         double* out_fda) {
   double mod_ref[64], mod_deg[64], loud_r[64], loud_d[64], d[64];
   for (int b = 0; b < P862_NB; b++) mod_ref[b] = ppd_ref_row[b] * comp_x[b];
-  double ta_r = total_audible(mod_ref, 1.0);
   double ta_d = total_audible(ppd_deg_row, 1.0);
-  double scale = std::min(std::max((ta_r + 5e3) / (ta_d + 5e3), 3e-4), 5.0);
+  double s = 0.2 * *old_scale + 0.8 * (ta_ref + 5e3) / (ta_d + 5e3);
+  *old_scale = s;
+  double scale = std::min(std::max(s, 3e-4), 5.0);
   for (int b = 0; b < P862_NB; b++) mod_deg[b] = ppd_deg_row[b] * scale;
   intensity_warping(mod_ref, loud_r);
   intensity_warping(mod_deg, loud_d);
@@ -881,8 +928,10 @@ double psychoacoustic_model(const std::vector<double>& ref,
     fda[f] = pseudo_lp(d.data(), 1.0);
   }
 
-  // signal-repetition amnesty on delay decreases > Nf/2
-  std::vector<char> forced_bad(n_frames, 0);
+  // signal-repetition amnesty on delay decreases > Nf/2: the overlapped
+  // frames' disturbances are zeroed (the Recommendation's per-frame flag
+  // array is write-only — it never feeds the bad-interval detection); the
+  // frame loop excludes the last frame
   for (long u = 1; u < (long)utts.size(); u++) {
     long jump = utts[u].delay - utts[u - 1].delay;
     if (jump >= -(NF / 2)) continue;
@@ -898,8 +947,7 @@ double psychoacoustic_model(const std::vector<double>& ref,
                             std::labs(jump),
                         NF / 2) +
               1;
-    for (long fr = lo; fr <= hi && fr < n_frames; fr++) {
-      forced_bad[fr] = 1;
+    for (long fr = lo; fr <= hi && fr < n_frames - 1; fr++) {
       fd[fr] = 0.0;
       fda[fr] = 0.0;
     }
@@ -909,18 +957,31 @@ double psychoacoustic_model(const std::vector<double>& ref,
   bool any_bad = false;
   std::vector<char> bad(n_frames);
   for (long f = 0; f < n_frames; f++) {
-    bad[f] = fd[f] > THRESHOLD_BAD_FRAMES || forced_bad[f];
+    bad[f] = fd[f] > THRESHOLD_BAD_FRAMES;
     any_bad |= bad[f];
   }
   if (any_bad) {
+    // smear over [SMEAR_RANGE, stop_frame - SMEAR_RANGE)
     std::vector<char> smeared(n_frames, 0);
-    for (long f = SMEAR_RANGE; f < n_frames - SMEAR_RANGE; f++) {
+    for (long f = SMEAR_RANGE; f < n_frames - 1 - SMEAR_RANGE; f++) {
       bool left = false, right = false;
       for (long i = f - SMEAR_RANGE; i <= f; i++) left |= bad[i];
       for (long i = f; i <= f + SMEAR_RANGE; i++) right |= bad[i];
       smeared[f] = left && right;
     }
     const long hop = NF / 2;
+    const long fill_hi = max_n + dp_samples() - buf;  // fill spans padding
+    // full-length per-sample retimed degraded copy: zeros outside
+    // [buf, maxN + dp - buf); each sample takes the delay of the last
+    // utterance whose start is at or before it
+    std::vector<double> tweaked(max_n + dp_samples(), 0.0);
+    for (long i = buf; i < fill_hi; i++) {
+      long u = (long)utts.size() - 1;
+      while (u >= 0 && utts[u].start_w * P862_DOWNSAMPLE > i) u--;
+      long delay = utts[std::max<long>(u, 0)].delay;
+      long j = std::min(std::max(i + delay, buf), fill_hi - 1);
+      tweaked[i] = deg[j];
+    }
     long f = 0;
     while (f < n_frames) {
       if (!smeared[f]) {
@@ -930,51 +991,55 @@ double psychoacoustic_model(const std::vector<double>& ref,
       long g = f;
       while (g < n_frames && smeared[g]) g++;
       if (g - f >= MIN_BAD_INTERVAL) {
-        long s0 = buf + f * hop;
-        long s1 = buf + (g - 1) * hop + NF;
-        long lo = s0 - BAD_INTERVAL_SEARCH;
-        long hi = s1 + BAD_INTERVAL_SEARCH;
-        long m = hi - lo;
-        // per-sample time-aligned deg copy over the extended window
-        std::vector<double> tweaked(m), seg_ref(m);
+        // sample span per P.862: start frame inclusive, stop frame
+        // exclusive (one hop past the last bad window)
+        long s0 = f * hop + buf;
+        long s1 = g * hop + NF + buf;
+        long n = s1 - s0;
+        long m = n + 2 * BAD_INTERVAL_SEARCH;
+        // ref window zero-padded; deg window = clamped reads of tweaked
+        std::vector<double> ref_win(m, 0.0), deg_win(m);
+        for (long i = 0; i < n; i++) ref_win[BAD_INTERVAL_SEARCH + i] =
+            ref[s0 + i];
         for (long i = 0; i < m; i++) {
-          long idx = lo + i;
-          long fr = std::min(std::max((idx - buf) / hop, 0L), n_frames - 1);
-          long j = std::min(std::max(idx + fdel[fr], buf), nd - buf - 1);
-          tweaked[i] = deg[j];
-          long ic = std::min(std::max(idx, 0L), (long)ref.size() - 1);
-          seg_ref[i] = ref[ic];
+          long idx = s0 - BAD_INTERVAL_SEARCH + i;
+          deg_win[i] = tweaked[std::min(std::max(idx, buf), fill_hi - 1)];
         }
         double corr;
-        long delta = compute_delay(seg_ref.data(), tweaked.data(), 0, m,
+        long delta = compute_delay(ref_win.data(), deg_win.data(), 0, m,
                                    BAD_INTERVAL_SEARCH, &corr);
         if (corr < 0.5) delta = 0;
-        if (delta != 0) {
-          std::vector<double> hz_r(NF / 2), hz_d(NF / 2);
-          double row_r[64], row_d[64];
-          std::vector<double> dwin(NF);
-          for (long fr = f; fr < g; fr++) {
-            long sr = buf + fr * hop;
-            long off = sr - lo + delta;
-            if (off < 0 || off + NF > m) continue;
-            short_term_spec(ref, w, sr, hz_r.data());
-            for (long i = 0; i < NF; i++) dwin[i] = tweaked[off + i];
-            // windowed spectrum of the doubly-tweaked copy
-            {
-              std::vector<std::complex<double>> a(NF);
-              for (long i = 0; i < NF; i++) a[i] = {dwin[i] * w[i], 0.0};
-              fft(a, false);
-              for (long k = 0; k < NF / 2; k++)
-                hz_d[k] =
-                    a[k].real() * a[k].real() + a[k].imag() * a[k].imag();
-            }
-            freq_warping(hz_r.data(), row_r);
-            freq_warping(hz_d.data(), row_d);
-            double nfd, nfda;
-            frame_disturbances(row_r, row_d, comp_x.data(), &nfd, &nfda);
-            fd[fr] = std::min(fd[fr], nfd);
-            fda[fr] = std::min(fda[fr], nfda);
+        // doubly-tweaked pass over frames [f, min(g, stop_frame)):
+        // always runs (even at delta 0), short-term gain smoothing
+        // restarted at 1.0 and carried across the interval's frames
+        std::vector<double> hz_r(NF / 2), hz_d(NF / 2);
+        double row_r[64], row_d[64];
+        std::vector<double> dwin(NF);
+        double old_scale = 1.0;
+        for (long fr = f; fr < std::min(g, n_frames - 1); fr++) {
+          long sr = buf + fr * hop;
+          short_term_spec(ref, w, sr, hz_r.data());
+          for (long i = 0; i < NF; i++) {
+            long idx =
+                std::min(std::max(sr + i + delta, 0L), max_n - 1);
+            dwin[i] = tweaked[idx];
           }
+          // windowed spectrum of the doubly-tweaked copy
+          {
+            std::vector<std::complex<double>> a(NF);
+            for (long i = 0; i < NF; i++) a[i] = {dwin[i] * w[i], 0.0};
+            fft(a, false);
+            for (long k = 0; k < NF / 2; k++)
+              hz_d[k] =
+                  a[k].real() * a[k].real() + a[k].imag() * a[k].imag();
+          }
+          freq_warping(hz_r.data(), row_r);
+          freq_warping(hz_d.data(), row_d);
+          double nfd, nfda;
+          frame_disturbances(row_r, row_d, comp_x.data(), ta_ref[fr],
+                             &old_scale, &nfd, &nfda);
+          fd[fr] = std::min(fd[fr], nfd);
+          fda[fr] = std::min(fda[fr], nfda);
         }
       }
       f = g;
@@ -1006,23 +1071,25 @@ extern "C" double pesq_measure_wb(const double* clean, const double* degraded,
   fix_power_level(ref);
   fix_power_level(deg);
 
-  // MODEL path: DC block + the P.862.2 wideband input filter over the
-  // active region only
+  // MODEL path: NO DC block — edge taper + the P.862.2 wideband input
+  // filter over exactly the active region (decoded from the reference
+  // binary's pesq_measure)
   static const double kWbSos[1][5] = {
       {P862_WB_IIR_SOS[0], P862_WB_IIR_SOS[1], P862_WB_IIR_SOS[2],
        P862_WB_IIR_SOS[3], P862_WB_IIR_SOS[4]}};
-  dc_block(ref.data, nr);
-  dc_block(deg.data, nd);
-  iir_sos_active(ref.data, nr, kWbSos, 1);
-  iir_sos_active(deg.data, nd, kWbSos, 1);
+  taper_and_wb_filter(ref.data, nr, kWbSos);
+  taper_and_wb_filter(deg.data, nd, kWbSos);
 
-  // ALIGNMENT path: a copy gets another DC block + the standard
-  // 12-section input filter; VAD + all time alignment run on it
+  // ALIGNMENT path: a copy gets a DC block + the standard 12-section
+  // input filter over the ENTIRE buffer [0, Nsamples + datapadding);
+  // VAD + all time alignment run on it
   std::vector<double> ref_a = ref.data, deg_a = deg.data;
   dc_block(ref_a, nr);
   dc_block(deg_a, nd);
-  iir_sos_active(ref_a, nr, P862_STD_IIR_SOS, P862_STD_IIR_NSOS);
-  iir_sos_active(deg_a, nd, P862_STD_IIR_SOS, P862_STD_IIR_NSOS);
+  iir_sos_range(ref_a, 0, nr + dp_samples(), P862_STD_IIR_SOS,
+                P862_STD_IIR_NSOS);
+  iir_sos_range(deg_a, 0, nd + dp_samples(), P862_STD_IIR_SOS,
+                P862_STD_IIR_NSOS);
 
   std::vector<double> vad_ref, lv_ref, vad_deg, lv_deg;
   apply_vad(ref_a, nr, vad_ref, lv_ref);

