@@ -88,13 +88,26 @@ def pmsqe_loss(
 ) -> jnp.ndarray:
     """Mean per-frame PMSQE distortion between [B, T] waveforms.
 
-    The reference chunks waveforms into 1-second segments before scoring
-    (tools_for_loss.py:264-265); chunking only reorders the frame average
-    for hop-aligned lengths, so we operate on the full utterances.
+    The reference reshapes waveforms into 1-second segments before
+    scoring (tools_for_loss.py:264-265: ``view(N, -1, cfg.fs)``) and the
+    level alignment and bark/gain equalization statistics are therefore
+    per-SEGMENT time averages, not per-utterance ones.  We reproduce
+    that: utterances whose length is a whole number of seconds are
+    scored as independent 1-second chunks.  (The reference additionally
+    wraps the loss in a PIT permutation over chunks; the identity
+    permutation is the minimiser for time-ordered chunks of one source,
+    so it is not reproduced.)
     """
     if ref_wav.ndim == 1:
         ref_wav = ref_wav[None]
         deg_wav = deg_wav[None]
+
+    # 1-second chunking (reference semantics): fold whole seconds into
+    # the batch so every time-averaged statistic is per-chunk
+    B, L = ref_wav.shape
+    if L > FS and L % FS == 0:
+        ref_wav = ref_wav.reshape(B * (L // FS), FS)
+        deg_wav = deg_wav.reshape(B * (L // FS), FS)
 
     p_ref = _power_spectra(ref_wav)  # [B, T, F]
     p_deg = _power_spectra(deg_wav)
