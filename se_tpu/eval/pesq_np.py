@@ -1051,4 +1051,13 @@ def pesq_np(clean: np.ndarray, degraded: np.ndarray, fs: int = 16000) -> float:
     (reference: tools_for_estimate.py:40-45)."""
     if fs == 16000:
         return pesq_wb_np(clean, degraded)
-    raise NotImplementedError(f"PESQ model for fs={fs} not implemented")
+    raise NotImplementedError(
+        f"PESQ model for fs={fs} not implemented: only the 16 kHz "
+        "wideband (P.862.2) model ships.  The narrowband (8 kHz) model "
+        "needs its own published table set (42 bark bands, IRS receive "
+        "filter, 8-section input IIR) for which no oracle exists in this "
+        "environment — the reference's PESQ.so is a 16 kHz-only build "
+        "and its nb path used the pip 'pesq' package.  Resample to "
+        "16 kHz and use the wideband model, or supply/verify the 8 kHz "
+        "tables against an ITU reference build."
+    )
