@@ -19,10 +19,16 @@ def prefetch_to_device(
     iterator: Iterable,
     depth: int = 2,
     sharding=None,
+    place_fn=None,
 ) -> Iterator:
-    """Yield device-resident batches, ``depth`` transfers in flight."""
+    """Yield device-resident batches, ``depth`` transfers in flight.
+
+    ``place_fn`` overrides the placement (e.g. multi-host global-batch
+    assembly via jax.make_array_from_process_local_data)."""
 
     def place(batch):
+        if place_fn is not None:
+            return place_fn(batch)
         if sharding is not None:
             return jax.tree.map(
                 lambda x: jax.device_put(x, sharding), batch

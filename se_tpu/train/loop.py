@@ -94,16 +94,41 @@ class Trainer:
             self.eval_step = make_eval_step(cfg, self.model)
             self._batch_sharding = None
 
-        self.train_loader = DataLoader(
-            WaveDataset(self.train_data, "train"),
-            cfg.train.batch,
-            shuffle=True,
-            drop_last=True,
-            seed=cfg.train.seed,
-        )
-        self.valid_loader = DataLoader(
-            WaveDataset(self.valid_data, "valid"), cfg.train.batch
-        )
+        multihost = self.use_mesh and jax.process_count() > 1
+        if multihost:
+            # each host reads only its slice of every global batch and the
+            # batches are assembled into globally-sharded arrays
+            # (se_tpu/data/multihost.py)
+            from ..data import MultiHostLoader, make_global_batch
+
+            self.train_loader = MultiHostLoader(
+                WaveDataset(self.train_data, "train"),
+                cfg.train.batch,
+                seed=cfg.train.seed,
+            )
+            self.valid_loader = MultiHostLoader(
+                WaveDataset(self.valid_data, "valid"),
+                cfg.train.batch,
+                shuffle=False,
+            )
+            mesh = self.mesh
+
+            def _place(batch):
+                return make_global_batch(mesh, *batch)
+
+            self._place_batch = _place
+        else:
+            self.train_loader = DataLoader(
+                WaveDataset(self.train_data, "train"),
+                cfg.train.batch,
+                shuffle=True,
+                drop_last=True,
+                seed=cfg.train.seed,
+            )
+            self.valid_loader = DataLoader(
+                WaveDataset(self.valid_data, "valid"), cfg.train.batch
+            )
+            self._place_batch = None
 
         # resume vs fresh run (reference: train_interface.py:101-138)
         if cfg.train.chkpt_model is not None:
@@ -154,6 +179,7 @@ class Trainer:
             Bar(it, total=len(loader)),
             depth=self.cfg.parallel.prefetch_depth,
             sharding=self._batch_sharding,
+            place_fn=self._place_batch,
         )
 
     def train_epoch(self) -> dict:
@@ -188,6 +214,16 @@ class Trainer:
         pesq_scores = cal_pesq(est, clean, self.cfg.stft.fs, workers=workers)
         return pesq_scores, stoi_scores
 
+    @staticmethod
+    def _to_host(x) -> np.ndarray:
+        """Fetch an array for host-side scoring.  Under multi-host
+        execution a globally-sharded batch is not fully addressable; each
+        host then scores (and writes SCORES lines for) its own shard."""
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            shards = sorted(x.addressable_shards, key=lambda s: s.index)
+            return np.concatenate([np.asarray(s.data) for s in shards])
+        return np.asarray(jax.device_get(x))
+
     def validate_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
         sums, n = {}, 0
@@ -201,15 +237,15 @@ class Trainer:
                 for k, v in metrics.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
 
-                est = np.asarray(jax.device_get(outputs))
-                cln = np.asarray(jax.device_get(clean))
+                est = self._to_host(outputs)
+                cln = self._to_host(clean)
                 pesq_s, stoi_s = self._score(est, cln)
                 # per-sample scores (reference: trainer.py:221-222)
                 for p, s in zip(pesq_s, stoi_s):
                     f_score.write(f"PESQ {p:.6f} | STOI {s:.6f}\n")
                 avg_pesq += sum(pesq_s) / len(est)
                 avg_stoi += sum(stoi_s) / len(est)
-                last = (np.asarray(jax.device_get(noisy))[0], cln[0], est[0])
+                last = (self._to_host(noisy)[0], cln[0], est[0])
 
         every = cfg.obs.log_media_every
         if every > 0 and epoch % every == 0 and last is not None:
