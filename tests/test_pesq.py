@@ -89,3 +89,22 @@ def test_compute_delay_exact_vs_oracle():
     md, mc = compute_delay(t1, t2, 2000, 12000, 800)
     assert md == np.int32(d)
     np.testing.assert_allclose(mc, bc[0], atol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE), reason="oracle not present")
+def test_oracle_parity_full_battery_native():
+    """The COMPLETE parity battery (aligned, bulk shifts, multi-utterance,
+    piecewise/decreasing delays, unrelated signals) vs the ITU oracle at
+    +-0.001 MOS, via the native implementation (the numpy spec agrees
+    with it; see tools/pesq_oracle_battery.py for both)."""
+    from se_tpu.eval import pesq_native
+    from tools.pesq_oracle_battery import battery
+
+    if not pesq_native.available():
+        pytest.skip("native metrics library unavailable")
+    oracle = _oracle()
+    rng = np.random.default_rng(7)
+    for name, c, d in battery(rng):
+        o = oracle(c, d)
+        m = pesq_native.pesq(c, d, 16000)
+        assert abs(m - o) < 0.001, (name, o, m)
