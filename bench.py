@@ -3,7 +3,11 @@
 Runs the flagship configuration (DCCRN, complex LSTM, E-mask, SDR loss,
 3-second 16 kHz utterances — reference defaults config.py:35-58) as jitted
 steps on the available accelerator and prints one JSON line per metric
-(train last — it is the headline number).
+(train last — it is the headline number).  The headline train metric uses
+bf16 activations with f32 params/optimizer/BN statistics — the TPU-native
+mixed-precision production path (convergence covered by
+tests/test_train_step.py::test_dccrn_bf16_compute_trains); the f32 step
+is also reported.
 
 Batch sizes are the measured single-chip sweet spots on v5e (round 2:
 B=112 train / B=96 enhance with the block-kernel complex convs; the
@@ -77,7 +81,7 @@ def main():
         )
     )
 
-    # -- train ----------------------------------------------------------------
+    # -- train (f32) ----------------------------------------------------------
     noisy, clean = batch(TRAIN_BATCH)
     step = make_train_step(cfg, model)
     state, m = step(state, noisy, clean, key)
@@ -91,10 +95,35 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "dccrn_train_utterances_per_sec_per_chip",
+                "metric": "dccrn_train_f32_utterances_per_sec_per_chip",
                 "value": round(tr, 3),
                 "unit": "3s-utterances/sec/chip",
                 "vs_baseline": round(tr / BASELINE_TRAIN_UTT_PER_SEC, 3),
+            }
+        )
+    )
+
+    # -- train (bf16 activations, f32 params/optimizer/BN — the TPU-native
+    # mixed-precision path; convergence covered by
+    # tests/test_train_step.py::test_dccrn_bf16_compute_trains) -- headline
+    cfg16 = cfg.replace(compute_dtype="bfloat16")
+    model16, state16 = create_train_state(cfg16)
+    step16 = make_train_step(cfg16, model16)
+    state16, m = step16(state16, noisy, clean, key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state16, m = step16(state16, noisy, clean, key)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+    tr16 = TRAIN_BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dccrn_train_utterances_per_sec_per_chip",
+                "value": round(tr16, 3),
+                "unit": "3s-utterances/sec/chip",
+                "vs_baseline": round(tr16 / BASELINE_TRAIN_UTT_PER_SEC, 3),
             }
         )
     )

@@ -88,3 +88,14 @@ def test_fullsubnet_eval_enhances_waveform():
     metrics, outputs = eval_step(state, noisy, clean)
     assert outputs.shape == noisy.shape
     assert np.isfinite(np.asarray(outputs)).all()
+
+
+def test_dccrn_bf16_compute_trains():
+    """bf16 activations (f32 params/optimizer/BN stats) must also train —
+    the TPU-native mixed-precision path bench.py reports."""
+    cfg = small_cfg(model="DCCRN", loss="SDR").replace(
+        compute_dtype="bfloat16"
+    )
+    losses, _ = _train_n(cfg, n=4)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
