@@ -25,6 +25,14 @@ def main():
     p.add_argument("--masking-mode", default="E")
     p.add_argument("--lstm", default="complex")
     p.add_argument("--out-dir", default="enhanced")
+    p.add_argument(
+        "--jit",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="jit the forward with 1-second length bucketing (one compile "
+        "per bucket, reused across files).  Default: on for accelerator "
+        "backends, off for CPU.",
+    )
     args = p.parse_args()
 
     import jax
@@ -56,23 +64,35 @@ def main():
             )
             mag = jnp.abs(noisy_complex)
             cRM = model.apply(variables, mag, train=False)
-            return np.asarray(
-                fullsubnet_enhance(cfg, cRM, noisy_complex, wav.shape[-1])
-            )[0]
+            return fullsubnet_enhance(cfg, cRM, noisy_complex, wav.shape[-1])[0]
 
     else:
 
         def enhance(wav):
             out = model.apply(variables, wav[None], train=False)
-            return np.asarray(out[-1])[0]
+            return out[-1][0]
 
-    # Not jitted: wav lengths vary per file, so each file would trigger a
-    # fresh trace/compile; eager apply amortises better for one-off CLI use.
+    use_jit = args.jit
+    if use_jit is None:
+        use_jit = jax.default_backend() != "cpu"
+    if use_jit:
+        # bucket lengths to whole seconds so jax.jit's shape-keyed cache
+        # compiles once per bucket instead of once per file; the zero pad
+        # only influences the trailing analysis frames and is trimmed off
+        bucket = cfg.stft.fs
+        jitted = jax.jit(enhance)
+
+        def enhance(wav):  # noqa: F811 — wraps the eager closure above
+            L = wav.shape[-1]
+            pad = -(-L // bucket) * bucket - L
+            y = jitted(jnp.pad(wav, (0, pad)))
+            return np.asarray(y)[:L]
+
     for path in args.wavs:
         wav, fs = read_wav(path, cfg.stft.fs)
         y = enhance(jnp.asarray(wav.astype(np.float32)))
         out_path = os.path.join(args.out_dir, os.path.basename(path))
-        write_wav(out_path, y, cfg.stft.fs)
+        write_wav(out_path, np.asarray(y), cfg.stft.fs)
         print(f"enhanced {path} -> {out_path}")
 
 

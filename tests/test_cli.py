@@ -116,3 +116,45 @@ def test_trainer_mesh_mode(tmp_path):
     t.setup()
     mse = t.run()
     assert np.isfinite(mse[0]) and mse[0] != 0
+
+
+def test_enhance_cli_jit_bucketing_matches_eager(tmp_path):
+    """enhance.py --jit (1-second length bucketing, shared compiles) must
+    produce the same audio as the eager path on a non-bucket-length wav."""
+    from se_tpu.data.synth import write_wav, read_wav
+    from se_tpu.config import Config
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import save_checkpoint
+
+    cfg = Config(model="CRN", lstm="real", loss="MSE")
+    model, state = create_train_state(cfg)
+    ckpt_dir = tmp_path / "ck"
+    os.makedirs(ckpt_dir)
+    save_checkpoint(str(ckpt_dir), state, epoch=1)
+
+    rng = np.random.default_rng(2)
+    wav_in = tmp_path / "noisy.wav"
+    write_wav(str(wav_in), rng.standard_normal(20000) * 0.05, 16000)  # 1.25 s
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = {}
+    for mode, flag in [("eager", "--no-jit"), ("jit", "--jit")]:
+        out_dir = tmp_path / mode
+        r = subprocess.run(
+            [
+                sys.executable, "enhance.py",
+                "--checkpoint", str(ckpt_dir / "chkpt_1"),
+                "--model", "CRN", "--lstm", "real", flag,
+                str(wav_in), "--out-dir", str(out_dir),
+            ],
+            cwd=ROOT, env=env, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        outs[mode], _ = read_wav(str(out_dir / "noisy.wav"))
+    assert len(outs["jit"]) == len(outs["eager"]) == 20000
+    # identical up to the last analysis window (zero-pad tail influence)
+    tail = 512
+    np.testing.assert_allclose(
+        outs["jit"][:-tail], outs["eager"][:-tail], atol=2e-4
+    )
