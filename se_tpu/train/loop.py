@@ -220,7 +220,11 @@ class Trainer:
         execution a globally-sharded batch is not fully addressable; each
         host then scores (and writes SCORES lines for) its own shard."""
         if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
-            shards = sorted(x.addressable_shards, key=lambda s: s.index)
+            # s.index is a tuple of slices; order by the batch-dim offset
+            shards = sorted(
+                x.addressable_shards,
+                key=lambda s: s.index[0].start or 0,
+            )
             return np.concatenate([np.asarray(s.data) for s in shards])
         return np.asarray(jax.device_get(x))
 
