@@ -33,6 +33,14 @@ def main():
         "per bucket, reused across files).  Default: on for accelerator "
         "backends, off for CPU.",
     )
+    p.add_argument(
+        "--streaming",
+        action="store_true",
+        help="chunked carried-state inference (DCCRN/CRN): processes the "
+        "wav in --chunk-ms pieces with a fixed algorithmic latency, "
+        "interior-exact vs whole-utterance processing.",
+    )
+    p.add_argument("--chunk-ms", type=int, default=100)
     args = p.parse_args()
 
     import jax
@@ -75,7 +83,45 @@ def main():
     use_jit = args.jit
     if use_jit is None:
         use_jit = jax.default_backend() != "cpu"
-    if use_jit:
+
+    if args.streaming:
+        if cfg.model == "FullSubNet":
+            raise SystemExit(
+                "--streaming supports DCCRN and CRN on the waveform CLI; "
+                "FullSubNet streams in the STFT-frame domain — use "
+                "se_tpu.models.streaming_fullsubnet.StreamingFullSubNet"
+                ".enhance_chunk directly."
+            )
+        from se_tpu.models.streaming import StreamingDCCRN
+        from se_tpu.models.streaming_crn import StreamingCRN
+
+        stream = (
+            StreamingDCCRN(cfg) if cfg.model == "DCCRN" else StreamingCRN(cfg)
+        )
+        hop = cfg.stft.win_inc
+        chunk = max(1, args.chunk_ms * cfg.stft.fs // 1000 // hop) * hop
+        chunk_step = (
+            jax.jit(stream.apply) if use_jit else stream.apply
+        )
+
+        def enhance(wav):  # noqa: F811 — streaming replaces the closures
+            L = wav.shape[-1]
+            pad = -(-L // chunk) * chunk - L
+            wavp = jnp.pad(wav, (0, pad))[None]
+            state, frames = None, []
+            for s in range(0, wavp.shape[-1], chunk):
+                spec, state = chunk_step(
+                    variables, wavp[:, s : s + chunk], state
+                )
+                frames.append(spec)
+            bound = stream.bind(variables)
+            # drop the algorithmic-latency frames: the remaining stream is
+            # then sample-exact with the batch forward from sample 0
+            spec_all = jnp.concatenate(frames, axis=-1)[..., bound.n_stages:]
+            y = np.asarray(bound.synthesize(spec_all))[0]
+            return y[:L] if len(y) >= L else np.pad(y, (0, L - len(y)))
+
+    elif use_jit:
         # bucket lengths to whole seconds so jax.jit's shape-keyed cache
         # compiles once per bucket instead of once per file; the zero pad
         # only influences the trailing analysis frames and is trimmed off

@@ -158,3 +158,46 @@ def test_enhance_cli_jit_bucketing_matches_eager(tmp_path):
     np.testing.assert_allclose(
         outs["jit"][:-tail], outs["eager"][:-tail], atol=2e-4
     )
+
+
+def test_enhance_cli_streaming_matches_batch_interior(tmp_path):
+    """enhance.py --streaming (chunked carried-state CRN) must agree with
+    the batch path away from the warm-up/synthesis edges."""
+    from se_tpu.data.synth import write_wav, read_wav
+    from se_tpu.config import Config
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import save_checkpoint
+
+    cfg = Config(model="CRN", lstm="real", loss="MSE")
+    model, state = create_train_state(cfg)
+    ckpt_dir = tmp_path / "ck"
+    os.makedirs(ckpt_dir)
+    save_checkpoint(str(ckpt_dir), state, epoch=1)
+
+    rng = np.random.default_rng(3)
+    wav_in = tmp_path / "noisy.wav"
+    write_wav(str(wav_in), rng.standard_normal(16000) * 0.05, 16000)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = {}
+    for mode, extra in [("batch", []), ("stream", ["--streaming"])]:
+        out_dir = tmp_path / mode
+        r = subprocess.run(
+            [
+                sys.executable, "enhance.py",
+                "--checkpoint", str(ckpt_dir / "chkpt_1"),
+                "--model", "CRN", "--lstm", "real", "--no-jit",
+                *extra, str(wav_in), "--out-dir", str(out_dir),
+            ],
+            cwd=ROOT, env=env, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        outs[mode], _ = read_wav(str(out_dir / "noisy.wav"))
+    assert len(outs["stream"]) == len(outs["batch"]) == 16000
+    # latency-compensated stream is sample-exact with the batch forward
+    # (int16 WAV quantisation aside) everywhere but the zero-padded tail
+    hi = 15000
+    np.testing.assert_allclose(
+        outs["stream"][:hi], outs["batch"][:hi], atol=2e-4
+    )
