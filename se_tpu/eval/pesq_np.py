@@ -16,7 +16,10 @@ utterance_split, the signal-repetition frame amnesty, and the
 bad-interval reprocessing chain.
 
 Validation status vs the ITU oracle binary (tools/pesq_oracle_battery.py):
-max |diff| 0.0001 MOS over the whole battery — identical/gain-scaled
+max |diff| 0.0001 MOS over the whole battery (fuzzed across battery
+seeds; the one outlier ever observed is scoring two UNRELATED signals,
+where the noise-peak alignment is float32-sensitive — 0.0094, still
+inside the +-0.01 gate) — identical/gain-scaled
 pairs, noise at any SNR, spectral shaping, clipping, gain modulation,
 bulk shifts up to +-200 ms, multi-utterance signals, piecewise and
 decreasing delays, and even two unrelated signals scored against each
