@@ -139,7 +139,11 @@ def conv_stft_mag_phase(x: jnp.ndarray, k: ConvStftKernels):
     spec = conv_stft(x, k)
     dim = k.fft_len // 2 + 1
     real, imag = spec[:, :dim], spec[:, dim:]
-    mags = jnp.sqrt(real**2 + imag**2)
+    # forward-identical to sqrt(r^2+i^2) but with a finite (zero) gradient
+    # at all-zero bins (see se_tpu/ops/magnitude.py)
+    from ..ops.magnitude import complex_mag
+
+    mags = complex_mag(real, imag)
     phase = jnp.arctan2(imag, real)
     return mags, phase
 

@@ -17,6 +17,7 @@ import flax.linen as nn
 
 from ..config import Config
 from ..dsp import make_conv_stft_kernels, conv_stft, conv_istft
+from ..ops.magnitude import complex_mag
 from .layers import (
     ComplexConv2d,
     ComplexConvTranspose2d,
@@ -248,7 +249,11 @@ class DCCRN(nn.Module):
         mask_imag = jnp.pad(out[:, 1], ((0, 0), (1, 0), (0, 0)))
 
         if self.masking_mode == "E":
-            mask_mags = (mask_real**2 + mask_imag**2) ** 0.5
+            # forward-identical to (r^2+i^2)**0.5; gradient is 0 instead
+            # of NaN when a bin's real AND imag parts are exactly zero
+            # (the reference's torch expression NaNs there, models.py:259 —
+            # the bf16 activation path hits exact zeros readily)
+            mask_mags = complex_mag(mask_real, mask_imag)
             real_phase = mask_real / (mask_mags + 1e-8)
             imag_phase = mask_imag / (mask_mags + 1e-8)
             mask_phase = jnp.arctan2(imag_phase, real_phase)

@@ -237,3 +237,21 @@ def test_prelu_parity(rng):
     want = m(torch.from_numpy(x)).detach().numpy()
     got = np.asarray(prelu(x, jnp.asarray(m.weight.detach().numpy())))
     np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_complex_mag_forward_identical_and_nan_free_gradient():
+    """complex_mag: bit-identical forward to sqrt(r^2+i^2); finite (zero)
+    gradient at all-zero bins where the naive expression NaNs — the
+    failure mode of long bf16 training runs."""
+    import jax
+    from se_tpu.ops import complex_mag
+
+    r = jnp.asarray([3.0, 0.0, 1e-20, -4.0, 0.5])
+    i = jnp.asarray([4.0, 0.0, 0.0, 3.0, -0.5])
+    naive = (r**2 + i**2) ** 0.5
+    np.testing.assert_array_equal(np.asarray(complex_mag(r, i)), np.asarray(naive))
+
+    g = jax.grad(lambda a, b: jnp.sum(complex_mag(a, b)))(r, i)
+    assert np.isfinite(np.asarray(g)).all()
+    gn = jax.grad(lambda a, b: jnp.sum((a**2 + b**2) ** 0.5))(r, i)
+    assert not np.isfinite(np.asarray(gn)).all()  # the hazard being fixed
