@@ -17,7 +17,7 @@ import flax.linen as nn
 
 from ..config import Config
 from ..dsp import make_conv_stft_kernels, conv_stft, conv_istft
-from ..ops.magnitude import complex_mag
+from ..ops.magnitude import complex_mag, safe_arctan2
 from .layers import (
     ComplexConv2d,
     ComplexConvTranspose2d,
@@ -256,7 +256,8 @@ class DCCRN(nn.Module):
             mask_mags = complex_mag(mask_real, mask_imag)
             real_phase = mask_real / (mask_mags + 1e-8)
             imag_phase = mask_imag / (mask_mags + 1e-8)
-            mask_phase = jnp.arctan2(imag_phase, real_phase)
+            # gradient-safe at all-zero bins (see ops/magnitude.py)
+            mask_phase = safe_arctan2(imag_phase, real_phase)
             mask_mags = jnp.tanh(mask_mags)
             est_mags = mask_mags * spec_mags
             est_phase = spec_phase + mask_phase

@@ -22,4 +22,4 @@ from .norms import (
 from .unfold import unfold
 from .cirm import build_complex_ideal_ratio_mask, compress_cIRM, decompress_cIRM
 from .activations import prelu
-from .magnitude import complex_mag
+from .magnitude import complex_mag, safe_arctan2

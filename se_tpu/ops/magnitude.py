@@ -32,3 +32,24 @@ def _complex_mag_jvp(primals, tangents):
     m = complex_mag(real, imag)
     denom = jnp.where(m > 0, m, 1.0)
     return m, (real * dr + imag * di) / denom
+
+
+@jax.custom_jvp
+def safe_arctan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """arctan2 with a finite (zero) gradient at the origin.
+
+    The true gradient is (x*dy - y*dx) / (x^2 + y^2), which is 0/0 when
+    both arguments are exactly zero — the second half of the all-zero-bin
+    hazard (the DCCRN E-mask takes arctan2 of the normalised mask parts,
+    reference models.py:262-265).  Forward is bit-identical to
+    ``jnp.arctan2``."""
+    return jnp.arctan2(y, x)
+
+
+@safe_arctan2.defjvp
+def _safe_arctan2_jvp(primals, tangents):
+    y, x = primals
+    dy, dx = tangents
+    denom = x * x + y * y
+    safe = jnp.where(denom > 0, denom, 1.0)
+    return jnp.arctan2(y, x), (x * dy - y * dx) / safe

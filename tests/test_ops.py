@@ -255,3 +255,19 @@ def test_complex_mag_forward_identical_and_nan_free_gradient():
     assert np.isfinite(np.asarray(g)).all()
     gn = jax.grad(lambda a, b: jnp.sum((a**2 + b**2) ** 0.5))(r, i)
     assert not np.isfinite(np.asarray(gn)).all()  # the hazard being fixed
+
+
+def test_safe_arctan2_forward_identical_and_nan_free_gradient():
+    """safe_arctan2: bit-identical forward; finite gradient at (0, 0)
+    where jnp.arctan2's gradient is 0/0 — the op that NaN'd long bf16
+    DCCRN E-mask training (all-zero mask bins)."""
+    import jax
+    from se_tpu.ops import safe_arctan2
+
+    y = jnp.asarray([0.0, 1.0, -1.0, 0.0, -0.0])
+    x = jnp.asarray([0.0, 1.0, 0.5, -2.0, -0.0])
+    np.testing.assert_array_equal(
+        np.asarray(safe_arctan2(y, x)), np.asarray(jnp.arctan2(y, x))
+    )
+    g = jax.grad(lambda a, b: jnp.sum(safe_arctan2(a, b)), argnums=(0, 1))(y, x)
+    assert np.isfinite(np.asarray(g)).all()
