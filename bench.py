@@ -95,7 +95,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "dccrn_train_f32_utterances_per_sec_per_chip",
+                # historical series name: f32 since round 1 (the bf16
+                # production path reports under its own *_bf16_* name so
+                # the precision of this series never silently changes)
+                "metric": "dccrn_train_utterances_per_sec_per_chip",
                 "value": round(tr, 3),
                 "unit": "3s-utterances/sec/chip",
                 "vs_baseline": round(tr / BASELINE_TRAIN_UTT_PER_SEC, 3),
@@ -120,7 +123,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "dccrn_train_utterances_per_sec_per_chip",
+                "metric": "dccrn_train_bf16_utterances_per_sec_per_chip",
                 "value": round(tr16, 3),
                 "unit": "3s-utterances/sec/chip",
                 "vs_baseline": round(tr16 / BASELINE_TRAIN_UTT_PER_SEC, 3),

@@ -124,8 +124,16 @@ def main():
     elif use_jit:
         # bucket lengths to whole seconds so jax.jit's shape-keyed cache
         # compiles once per bucket instead of once per file; the zero pad
-        # only influences the trailing analysis frames and is trimmed off
-        bucket = cfg.stft.fs
+        # only influences the trailing analysis frames and is trimmed off.
+        # Exception: FullSubNet's offline_* norms take utterance-GLOBAL
+        # statistics (mean over every time frame, se_tpu/ops/norms.py),
+        # so padded zero frames would rescale the normalised input for the
+        # whole utterance — jit per exact length instead (shape-keyed
+        # cache still shares compiles across same-length files).  The
+        # cumulative_* norms are causal prefix statistics, so for them the
+        # pad really does only touch the trimmed-off tail.
+        offline_norm = cfg.model == "FullSubNet" and cfg.fullsubnet.norm_type.startswith("offline")
+        bucket = 1 if offline_norm else cfg.stft.fs
         jitted = jax.jit(enhance)
 
         def enhance(wav):  # noqa: F811 — wraps the eager closure above

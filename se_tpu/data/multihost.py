@@ -41,9 +41,15 @@ class MultiHostLoader:
     counter), partitions each global batch of ``global_batch`` examples
     contiguously by process index, and yields its LOCAL
     ``global_batch // process_count`` rows as (noisy, clean) float32
-    arrays.  ``drop_last`` is forced: a partial global batch cannot be
-    formed collectively.  ``global_batch`` must divide evenly across
-    processes.
+    arrays.  ``global_batch`` must divide evenly across processes.
+
+    ``drop_last=True`` (the training default) drops a partial final global
+    batch — it cannot be formed collectively at a smaller static shape.
+    ``drop_last=False`` (validation) instead wrap-pads the remainder rows
+    cyclically up to a full global batch so the collective path keeps its
+    static shape; callers mask the padding using ``valid_per_batch``
+    (global real-row count per yielded batch) and ``local_valid`` (this
+    host's share of those real rows).
     """
 
     def __init__(
@@ -54,6 +60,7 @@ class MultiHostLoader:
         process_count: int | None = None,
         shuffle: bool = True,
         seed: int = 0,
+        drop_last: bool = True,
     ):
         import jax
 
@@ -73,10 +80,32 @@ class MultiHostLoader:
         self.local_batch = global_batch // self.process_count
         self.shuffle = shuffle
         self.seed = seed
+        self.drop_last = drop_last
         self._epoch = 0
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.global_batch
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.global_batch
+        return -(-n // self.global_batch)
+
+    @property
+    def valid_per_batch(self):
+        """Global count of real (non-wrap-padded) rows per yielded batch."""
+        n = len(self.dataset)
+        counts = [self.global_batch] * (n // self.global_batch)
+        rem = n % self.global_batch
+        if rem and not self.drop_last:
+            counts.append(rem)
+        return counts
+
+    def local_valid(self, global_valid: int) -> int:
+        """This host's count of real rows in a batch whose first
+        ``global_valid`` global rows are real.  Batches are sliced
+        contiguously by process index, so a host's real rows are always
+        the leading rows of its local slice."""
+        lo = self.process_index * self.local_batch
+        return max(0, min(lo + self.local_batch, global_valid) - lo)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n = len(self.dataset)
@@ -90,6 +119,11 @@ class MultiHostLoader:
         stop = (n // self.global_batch) * self.global_batch
         for start in range(0, stop, self.global_batch):
             idx = order[start : start + self.global_batch][lo:hi]
+            data = np.asarray(self.dataset.data[idx], np.float32)
+            yield data[:, 0], data[:, 1]
+        if n - stop and not self.drop_last:
+            # wrap-pad the tail cyclically to a full static-shape batch
+            idx = np.resize(order[stop:], self.global_batch)[lo:hi]
             data = np.asarray(self.dataset.data[idx], np.float32)
             yield data[:, 0], data[:, 1]
 

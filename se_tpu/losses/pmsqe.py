@@ -93,10 +93,15 @@ def pmsqe_loss(
     level alignment and bark/gain equalization statistics are therefore
     per-SEGMENT time averages, not per-utterance ones.  We reproduce
     that: utterances whose length is a whole number of seconds are
-    scored as independent 1-second chunks.  (The reference additionally
-    wraps the loss in a PIT permutation over chunks; the identity
-    permutation is the minimiser for time-ordered chunks of one source,
-    so it is not reproduced.)
+    scored as independent 1-second chunks; utterances longer than a
+    second but NOT a whole number of seconds are trimmed to the
+    whole-second prefix first (the reference's ``view`` would error on
+    such lengths, so per-segment statistics are the only semantics it
+    ever exhibits — trimming guarantees them here too).  Sub-second
+    utterances are scored whole.  (The reference additionally wraps the
+    loss in a PIT permutation over chunks; the identity permutation is
+    the minimiser for time-ordered chunks of one source, so it is not
+    reproduced.)
     """
     if ref_wav.ndim == 1:
         ref_wav = ref_wav[None]
@@ -105,9 +110,10 @@ def pmsqe_loss(
     # 1-second chunking (reference semantics): fold whole seconds into
     # the batch so every time-averaged statistic is per-chunk
     B, L = ref_wav.shape
-    if L > FS and L % FS == 0:
-        ref_wav = ref_wav.reshape(B * (L // FS), FS)
-        deg_wav = deg_wav.reshape(B * (L // FS), FS)
+    if L > FS:
+        n_sec = L // FS
+        ref_wav = ref_wav[:, : n_sec * FS].reshape(B * n_sec, FS)
+        deg_wav = deg_wav[:, : n_sec * FS].reshape(B * n_sec, FS)
 
     p_ref = _power_spectra(ref_wav)  # [B, T, F]
     p_deg = _power_spectra(deg_wav)

@@ -106,11 +106,6 @@ class Trainer:
                 cfg.train.batch,
                 seed=cfg.train.seed,
             )
-            self.valid_loader = MultiHostLoader(
-                WaveDataset(self.valid_data, "valid"),
-                cfg.train.batch,
-                shuffle=False,
-            )
             mesh = self.mesh
 
             def _place(batch):
@@ -125,10 +120,24 @@ class Trainer:
                 drop_last=True,
                 seed=cfg.train.seed,
             )
+            self._place_batch = None
+        if self.use_mesh:
+            # mesh-mode validation needs static, mesh-divisible batch
+            # shapes, so the remainder is wrap-padded by the loader and
+            # masked out of scoring in validate_epoch (the plain loader's
+            # smaller tail batch could not be sharded over the mesh)
+            from ..data import MultiHostLoader
+
+            self.valid_loader = MultiHostLoader(
+                WaveDataset(self.valid_data, "valid"),
+                cfg.train.batch,
+                shuffle=False,
+                drop_last=False,
+            )
+        else:
             self.valid_loader = DataLoader(
                 WaveDataset(self.valid_data, "valid"), cfg.train.batch
             )
-            self._place_batch = None
 
         # resume vs fresh run (reference: train_interface.py:101-138)
         if cfg.train.chkpt_model is not None:
@@ -229,27 +238,66 @@ class Trainer:
         return np.asarray(jax.device_get(x))
 
     def validate_epoch(self, epoch: int) -> dict:
+        """One validation epoch: loss + host-side objective scoring.
+
+        Loss metrics are averaged weighted by the number of real rows per
+        batch.  Under multi-host execution the final partial global batch
+        is wrap-padded by the loader (multihost.py); each host scores only
+        its real rows, and the PESQ/STOI sums are reduced across hosts so
+        the logged averages are global, not per-host-shard.  (The padded
+        duplicate rows do enter that last batch's device-side loss mean —
+        they are copies of real validation rows, so the bias is bounded to
+        that one batch and documented here.)
+        """
         cfg = self.cfg
-        sums, n = {}, 0
-        avg_pesq = avg_stoi = 0.0
+        sums, wsum = {}, 0
+        pesq_sum = stoi_sum = 0.0
+        n_scored = 0
+        # global real-row count per batch when the loader wrap-pads
+        # (MultiHostLoader with drop_last=False); None for plain loaders
+        counts = getattr(self.valid_loader, "valid_per_batch", None)
         score_path = os.path.join(self.dir_to_save, f"Epoch_{epoch}_SCORES")
         last = None
         with open(score_path, "a") as f_score:
-            for noisy, clean in self._feed(self.valid_loader):
+            for bi, (noisy, clean) in enumerate(self._feed(self.valid_loader)):
                 metrics, outputs = self.eval_step(self.state, noisy, clean)
-                n += 1
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
 
                 est = self._to_host(outputs)
                 cln = self._to_host(clean)
+                if counts is not None:
+                    g_valid = counts[bi]
+                    l_valid = self.valid_loader.local_valid(g_valid)
+                    est, cln = est[:l_valid], cln[:l_valid]
+                else:
+                    g_valid = len(est)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v) * g_valid
+                wsum += g_valid
+
+                if len(est) == 0:
+                    continue  # this host holds only padding in the tail
                 pesq_s, stoi_s = self._score(est, cln)
                 # per-sample scores (reference: trainer.py:221-222)
                 for p, s in zip(pesq_s, stoi_s):
                     f_score.write(f"PESQ {p:.6f} | STOI {s:.6f}\n")
-                avg_pesq += sum(pesq_s) / len(est)
-                avg_stoi += sum(stoi_s) / len(est)
+                pesq_sum += float(sum(pesq_s))
+                stoi_sum += float(sum(stoi_s))
+                n_scored += len(est)
                 last = (self._to_host(noisy)[0], cln[0], est[0])
+
+        if wsum == 0:
+            raise ValueError(
+                "validation loader yielded no batches — is the validation "
+                "set empty?"
+            )
+        if jax.process_count() > 1:
+            # global objective-score averages, not per-host-shard ones
+            from jax.experimental import multihost_utils
+
+            agg = multihost_utils.process_allgather(
+                np.array([pesq_sum, stoi_sum, float(n_scored)])
+            )
+            pesq_sum, stoi_sum, n_scored = np.sum(agg, axis=0)
 
         every = cfg.obs.log_media_every
         if every > 0 and epoch % every == 0 and last is not None:
@@ -257,9 +305,9 @@ class Trainer:
             # image channels exist but are never invoked in the reference
             # (write_on_tensorboard.py:338-386); here they are wired
             self.writer.log_spectrogram(*last, epoch)
-        out = {k: v / max(n, 1) for k, v in sums.items()}
-        out["pesq"] = avg_pesq / max(n, 1)
-        out["stoi"] = avg_stoi / max(n, 1)
+        out = {k: v / wsum for k, v in sums.items()}
+        out["pesq"] = pesq_sum / max(n_scored, 1)
+        out["stoi"] = stoi_sum / max(n_scored, 1)
         return out
 
     # -- full run --------------------------------------------------------

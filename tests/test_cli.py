@@ -160,6 +160,49 @@ def test_enhance_cli_jit_bucketing_matches_eager(tmp_path):
     )
 
 
+def test_enhance_cli_fullsubnet_jit_matches_eager(tmp_path):
+    """FullSubNet's default offline_laplace_norm takes utterance-global
+    statistics, so the jit path must NOT zero-pad into the normalisation
+    (length bucketing would shrink mu and rescale every frame).  With the
+    per-exact-length jit the output must match eager everywhere, on a
+    non-whole-second file."""
+    from se_tpu.data.synth import write_wav, read_wav
+    from se_tpu.config import Config
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import save_checkpoint
+
+    cfg = Config(model="FullSubNet", loss="MSE")
+    model, state = create_train_state(cfg)
+    ckpt_dir = tmp_path / "ck"
+    os.makedirs(ckpt_dir)
+    save_checkpoint(str(ckpt_dir), state, epoch=1)
+
+    rng = np.random.default_rng(4)
+    wav_in = tmp_path / "noisy.wav"
+    write_wav(str(wav_in), rng.standard_normal(20000) * 0.05, 16000)  # 1.25 s
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = {}
+    for mode, flag in [("eager", "--no-jit"), ("jit", "--jit")]:
+        out_dir = tmp_path / mode
+        r = subprocess.run(
+            [
+                sys.executable, "enhance.py",
+                "--checkpoint", str(ckpt_dir / "chkpt_1"),
+                "--model", "FullSubNet", flag,
+                str(wav_in), "--out-dir", str(out_dir),
+            ],
+            cwd=ROOT, env=env, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        outs[mode], _ = read_wav(str(out_dir / "noisy.wav"))
+    assert len(outs["jit"]) == len(outs["eager"]) == 20000
+    # no padding enters the model, so jit must agree with eager everywhere
+    # (int16 WAV quantisation is the only tolerance)
+    np.testing.assert_allclose(outs["jit"], outs["eager"], atol=2e-4)
+
+
 def test_enhance_cli_streaming_matches_batch_interior(tmp_path):
     """enhance.py --streaming (chunked carried-state CRN) must agree with
     the batch path away from the warm-up/synthesis edges."""

@@ -73,6 +73,84 @@ def test_shuffle_differs_across_epochs_but_agrees_across_hosts():
     )  # epochs reshuffle
 
 
+def test_validation_tail_wrap_padded_and_masked():
+    """drop_last=False wrap-pads the remainder to a full static-shape
+    global batch; valid_per_batch/local_valid identify the real rows and
+    their union across hosts is exactly the dataset tail."""
+    data = _corpus(n=11)  # 11 rows, gb=8 -> one full batch + 3-row tail
+    count, gb = 4, 8
+    hosts = [
+        MultiHostLoader(
+            WaveDataset(data), gb, process_index=k, process_count=count,
+            shuffle=False, drop_last=False,
+        )
+        for k in range(count)
+    ]
+    assert len(hosts[0]) == 2
+    assert hosts[0].valid_per_batch == [8, 3]
+    batches = list(zip(*hosts))
+    assert len(batches) == 2
+    # every local slice keeps the full static shape
+    for per_host in batches:
+        for noisy_l, _ in per_host:
+            assert noisy_l.shape == (gb // count, data.shape[-1])
+    # masked union of the tail batch == dataset rows 8..10, in order
+    tail_rows = []
+    for k, (noisy_l, _) in enumerate(batches[1]):
+        lv = hosts[k].local_valid(3)
+        tail_rows.append(noisy_l[:lv])
+    tail = np.concatenate(tail_rows)
+    np.testing.assert_array_equal(tail, data[8:11, 0])
+    # and a dataset smaller than the global batch still yields one batch
+    tiny = [
+        MultiHostLoader(
+            WaveDataset(_corpus(n=3)), gb, process_index=k,
+            process_count=count, shuffle=False, drop_last=False,
+        )
+        for k in range(count)
+    ]
+    assert len(tiny[0]) == 1 and tiny[0].valid_per_batch == [3]
+    got = [list(h) for h in tiny]
+    assert all(len(g) == 1 for g in got)
+
+
+def test_trainer_validation_scores_only_real_rows(tmp_path):
+    """Trainer.validate_epoch over a MultiHostLoader validation set that
+    does not divide the global batch: no crash, and exactly one SCORES
+    line per real validation sample (padding is masked out)."""
+    from se_tpu.config import TrainConfig
+    from se_tpu.train.loop import Trainer
+    from tests.test_models import small_cfg
+
+    rng = np.random.default_rng(0)
+    train = rng.standard_normal((8, 2, 16000)).astype(np.float32) * 0.05
+    valid = rng.standard_normal((5, 2, 16000)).astype(np.float32) * 0.05
+    cfg = small_cfg(model="CRN", lstm="real", loss="MSE").replace(
+        train=TrainConfig(
+            max_epochs=1,
+            batch=8,
+            job_dir=str(tmp_path / "models") + "/",
+            logs_dir=str(tmp_path / "logs") + "/",
+        )
+    )
+    scored = []
+
+    def fake_score(est, clean):
+        scored.append(len(est))
+        return [2.0] * len(est), [0.5] * len(est)
+
+    t = Trainer(cfg, train, valid, use_mesh=True, score_fn=fake_score)
+    t.setup()
+    mse = t.run()
+    assert np.isfinite(mse[0]) and mse[0] != 0
+    assert sum(scored) == 5  # every real row scored once, no padding
+    import os
+
+    score_file = os.path.join(t.dir_to_save, "Epoch_1_SCORES")
+    with open(score_file) as f:
+        assert len(f.readlines()) == 5
+
+
 def test_rejects_indivisible_global_batch():
     with pytest.raises(ValueError):
         MultiHostLoader(
