@@ -44,6 +44,50 @@ def test_stoi_monotonic_with_noise(rng):
     assert scores[2] < 0.6
 
 
+def test_stoi_numerical_parity_vs_pystoi_restatement(rng):
+    """Golden pin of se_tpu.eval.stoi against the loop-style pystoi 0.3.3
+    restatement (tests/oracles/pystoi_ref.py) — the scorer the reference
+    calls (tools_for_estimate.py:90-95, extended=False).  Covers noisy
+    mixtures at several SNRs, identical/scaled pairs, silence-heavy
+    signals (VAD mask active) and a short utterance; this resolves the
+    band-edge/VAD/frame-count off-by-ones property tests cannot see."""
+    from tests.oracles.pystoi_ref import stoi as ref_stoi
+
+    cases = []
+    x = _speechlike(rng)
+    for snr_db in (15, 5, 0, -5):
+        noise = rng.standard_normal(len(x))
+        noise *= np.sqrt(
+            np.mean(x**2) / np.mean(noise**2) * 10 ** (-snr_db / 10)
+        )
+        cases.append((x, x + noise))
+    cases.append((x, x))  # identical
+    cases.append((x, 0.3 * x))  # pure gain
+    sil = _speechlike(rng).copy()
+    sil[:12000] *= 1e-4  # leading near-silence: VAD mask engages
+    cases.append((sil, sil + 0.02 * rng.standard_normal(len(sil))))
+    short = _speechlike(rng, n=12000)
+    cases.append((short, short + 0.05 * rng.standard_normal(12000)))
+
+    for clean, deg in cases:
+        mine = stoi(clean, deg, 16000)
+        ref = ref_stoi(clean, deg, 16000)
+        assert mine == pytest.approx(ref, abs=1e-10), (mine, ref)
+
+
+def test_stoi_resampler_matches_octave_window(rng):
+    """The 16 kHz -> 10 kHz front-end must use pystoi's Octave-compatible
+    Kaiser window, not scipy's default firwin design."""
+    from tests.oracles.pystoi_ref import resample_oct
+    from se_tpu.eval.stoi import _oct_window
+    from scipy.signal import resample_poly
+
+    x = _speechlike(rng)
+    mine = resample_poly(x, 5, 8, window=_oct_window(10000, 16000))
+    ref = resample_oct(x, 10000, 16000)
+    np.testing.assert_allclose(mine, ref, atol=1e-14)
+
+
 def test_wss_zero_for_identical(rng):
     x = _speechlike(rng)
     d = wss(x, x, 16000)
