@@ -4,12 +4,21 @@ A JAX implementation of the PESQ-inspired training objective of
 Martin-Donas et al. 2018 ("A Deep Learning Loss Function Based on the
 Perceptual Evaluation of the Speech Quality"), the loss the reference pulls
 in through asteroid's SingleSrcPMSQE with a 512/256 STFT front-end and
-1-second waveform chunking (reference: tools_for_loss.py:255-269).
+1-second waveform chunking (reference: tools_for_loss.py:253-268).
 
-Built on the same published ITU-T P.862 constants and operations as the
-framework's PESQ implementation (se_tpu/eval/pesq_np.py) — bark grouping,
-absolute thresholds, Zwicker loudness, deadzone and asymmetry — but
-expressed in smooth jnp ops so gradients flow to the enhancement model.
+The computational sequence follows the reference path end to end and is
+numerically pinned (tests/test_pmsqe.py) to the loop-style restatement in
+tests/oracles/asteroid_pmsqe.py — see that module's docstring for exactly
+which pieces are read off the reference/asteroid docstring (the chunking,
+the STFT geometry and sqrt-hann window, the ``transforms.mag``
+MAGNITUDE-not-power input quirk, pairwise-PIT chunk matching), which are
+pinned to the +-0.0001-MOS-validated P.862 implementation in this repo
+(bark grouping, thresholds, Zwicker loudness, deadzone, asymmetry, the
+^0.04 frame weighting and 45 caps, all equalizer floors and clips), and
+which are derived (the SLL band-mask scale).
+
+Everything is expressed in smooth jnp ops so gradients flow to the
+enhancement model.
 """
 
 from __future__ import annotations
@@ -17,7 +26,6 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..eval import p862_tables as T
@@ -28,6 +36,7 @@ HOP = 256
 NB = T.NB
 SP = 6.910853e-006
 SL = 1.866055e-001
+WINDOW_CORRECTION = 2.0  # sqrt-hann: 1 / mean(w^2)
 
 _ABS_THRESH = np.asarray(T.ABS_THRESH_POWER)
 _POW_CORR = np.asarray(T.POW_DENS_CORRECTION_FACTOR)
@@ -38,10 +47,12 @@ _NR_HZ = np.asarray(T.NR_OF_HZ_BANDS_PER_BARK_BAND)
 
 @lru_cache(maxsize=1)
 def _bark_matrix():
-    """[NFFT//2, NB] 0/1 grouping matrix with Sp/correction folded in.
+    """[257, NB] grouping matrix with Sp and the per-band power-density
+    corrections folded in (P.862 freq warping; the Nyquist row is zero —
+    bins 0..255 partition into the 49 bands, as in pesq_np).
 
     Cached as numpy (jnp arrays created inside a trace leak tracers)."""
-    m = np.zeros((NFFT // 2, NB), np.float32)
+    m = np.zeros((NFFT // 2 + 1, NB), np.float32)
     edges = np.concatenate([[0], np.cumsum(_NR_HZ)]).astype(int)
     for b in range(NB):
         m[edges[b] : edges[b + 1], b] = _POW_CORR[b] * SP
@@ -49,25 +60,47 @@ def _bark_matrix():
 
 
 @lru_cache(maxsize=1)
+def _mask_sll():
+    """[257] P.862 fix_power_level band (350..3250 Hz) mask scaled so that
+    mask . |FFT|^2 estimates per-sample time power in the band (see the
+    oracle docstring for the derivation)."""
+    m = np.zeros(NFFT // 2 + 1, np.float32)
+    m[11] = 0.5 * 25.0 / 31.25
+    m[12:104] = 1.0
+    m[104] = 0.5
+    return m * WINDOW_CORRECTION * 2.0 / NFFT**2
+
+
+@lru_cache(maxsize=1)
 def _consts():
     h = np.where(_CENTRE_BARK < 4.0, 6.0 / (_CENTRE_BARK + 2.0), 1.0)
-    h = np.minimum(h, 2.0) ** 0.15
-    return (_ABS_THRESH, 0.23 * h, _WIDTH_BARK)
+    zwicker = 0.23 * np.minimum(h, 2.0) ** 0.15
+    return (_ABS_THRESH, zwicker, _WIDTH_BARK)
 
 
 def _sqrt_hann(n: int) -> np.ndarray:
-    return np.sqrt(0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n))
+    """asteroid STFTFB default window: np.hanning(n + 1)[:-1] ** 0.5."""
+    return (np.hanning(n + 1)[:-1] ** 0.5).astype(np.float32)
 
 
-def _power_spectra(wav: jnp.ndarray) -> jnp.ndarray:
-    """[B, L] -> [B, T, NFFT//2] power spectra of sqrt-hann frames."""
-    w = _sqrt_hann(NFFT).astype(np.float32)
+def _magnitude_spectra(wav: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] -> [B, T, 257] MAGNITUDE spectra of sqrt-hann frames — the
+    reference feeds transforms.mag output (not power) into the loss."""
+    w = _sqrt_hann(NFFT)
     B, L = wav.shape
     n_frames = (L - NFFT) // HOP + 1
     idx = jnp.arange(n_frames)[:, None] * HOP + jnp.arange(NFFT)[None, :]
     frames = wav[:, idx] * w[None, None, :]
     spec = jnp.fft.rfft(frames, n=NFFT)
-    return (spec.real**2 + spec.imag**2)[..., : NFFT // 2]
+    return jnp.sqrt(spec.real**2 + spec.imag**2 + 1e-8)
+
+
+def _total_audible(bark: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """[B, T, NB] -> [B, T] audible power: bands 1..48 above threshold."""
+    thresh, _, _ = _consts()
+    aud = jnp.where(bark[..., 1:] > factor * thresh[None, None, 1:],
+                    bark[..., 1:], 0.0)
+    return jnp.sum(aud, axis=-1)
 
 
 def _loudness(bark: jnp.ndarray) -> jnp.ndarray:
@@ -86,7 +119,7 @@ def pmsqe_loss(
     bark_eq: bool = True,
     gain_eq: bool = True,
 ) -> jnp.ndarray:
-    """Mean per-frame PMSQE distortion between [B, T] waveforms.
+    """Mean PMSQE distortion between [B, T] waveforms.
 
     The reference reshapes waveforms into 1-second segments before
     scoring (tools_for_loss.py:264-265: ``view(N, -1, cfg.fs)``) and the
@@ -100,8 +133,9 @@ def pmsqe_loss(
     ever exhibits — trimming guarantees them here too).  Sub-second
     utterances are scored whole.  (The reference additionally wraps the
     loss in a PIT permutation over chunks; the identity permutation is
-    the minimiser for time-ordered chunks of one source, so it is not
-    reproduced.)
+    the minimiser for time-ordered chunks of one source — asserted
+    against the full-PIT oracle in tests/test_pmsqe.py — so it is not
+    recomputed here.)
     """
     if ref_wav.ndim == 1:
         ref_wav = ref_wav[None]
@@ -115,38 +149,41 @@ def pmsqe_loss(
         ref_wav = ref_wav[:, : n_sec * FS].reshape(B * n_sec, FS)
         deg_wav = deg_wav[:, : n_sec * FS].reshape(B * n_sec, FS)
 
-    p_ref = _power_spectra(ref_wav)  # [B, T, F]
-    p_deg = _power_spectra(deg_wav)
-    bark_m = _bark_matrix()
+    s_ref = _magnitude_spectra(ref_wav)  # [B, T, 257]
+    s_deg = _magnitude_spectra(deg_wav)
     thresh, _, width = _consts()
 
-    bark_ref = p_ref @ bark_m  # [B, T, NB]
-    bark_deg = p_deg @ bark_m
+    # standard-listening-level scaling (P.862 fix_power_level band)
+    mask = _mask_sll()
+    mean_ref = jnp.mean(s_ref @ mask, axis=-1)  # [B]
+    mean_deg = jnp.mean(s_deg @ mask, axis=-1)
+    s_ref = s_ref * (1e7 / mean_ref)[:, None, None]
+    s_deg = s_deg * (1e7 / mean_deg)[:, None, None]
 
-    # level alignment to the PESQ standard listening level
-    audible_ref = jnp.where(
-        bark_ref > thresh[None, None, :] * 100.0, bark_ref, 0.0
-    )
-    level = jnp.mean(jnp.sum(audible_ref, axis=-1), axis=-1)  # [B]
-    scale = 1e7 / (level[:, None, None] + 1e3)
-    bark_ref = bark_ref * scale
-    bark_deg = bark_deg * scale
+    bark_m = _bark_matrix()
+    bark_ref = s_ref @ bark_m  # [B, T, NB]
+    bark_deg = s_deg @ bark_m
 
     if bark_eq:
-        # per-utterance bark-band frequency equalization of the reference
-        avg_ref = jnp.mean(bark_ref, axis=1, keepdims=True)
-        avg_deg = jnp.mean(bark_deg, axis=1, keepdims=True)
-        x = jnp.clip((avg_deg + 1000.0) / (avg_ref + 1000.0), 0.01, 100.0)
-        bark_ref = bark_ref * x
+        # partial frequency-response compensation applied to the DEGRADED
+        # spectra: P.862 gating (non-silent frames, per-band 100x-threshold
+        # activity), +1000 floor, [0.01, 100] clip
+        silent = (_total_audible(bark_ref, 100.0) < 1e7)[..., None]
+        th100 = 100.0 * thresh[None, None, :]
+        num = jnp.sum(
+            jnp.where(~silent & (bark_ref > th100), bark_ref, 0.0), axis=1
+        )
+        den = jnp.sum(
+            jnp.where(~silent & (bark_deg > th100), bark_deg, 0.0), axis=1
+        )
+        eq = jnp.clip((num + 1000.0) / (den + 1000.0), 0.01, 100.0)
+        bark_deg = bark_deg * eq[:, None, :]
 
     if gain_eq:
-        # per-frame gain equalization of the degraded signal
-        ta_ref = jnp.sum(
-            jnp.where(bark_ref > thresh[None, None, :], bark_ref, 0.0), -1
-        )
-        ta_deg = jnp.sum(
-            jnp.where(bark_deg > thresh[None, None, :], bark_deg, 0.0), -1
-        )
+        # per-frame gain equalization of the degraded signal (P.862
+        # short-term gain compensation, stateless)
+        ta_ref = _total_audible(bark_ref, 1.0)
+        ta_deg = _total_audible(bark_deg, 1.0)
         g = jnp.clip(
             (ta_ref + 5e3) / (ta_deg + 5e3), 3e-4, 5.0
         )[..., None]
@@ -159,13 +196,21 @@ def pmsqe_loss(
     m = 0.25 * jnp.minimum(loud_deg, loud_ref)
     d = jnp.where(d > m, d - m, jnp.where(d < -m, d + m, 0.0))
 
-    w = width[None, None, :]
-    total_w = jnp.sum(width)
-    d_sym = jnp.sqrt(jnp.sum((jnp.abs(d) * w) ** 2, -1) / total_w) * total_w
-
     ratio = ((bark_deg + 50.0) / (bark_ref + 50.0)) ** 1.2
     asym = jnp.where(ratio < 3.0, 0.0, jnp.minimum(ratio, 12.0))
-    d_asym = jnp.sum(jnp.abs(d * asym) * w, -1)
 
-    per_frame = alpha * d_sym + beta * d_asym
-    return jnp.mean(per_frame)
+    # width-weighted pseudo-Lp norms over bands 1..48 (P.862 form)
+    w = width[None, None, 1:]
+    total_w = jnp.sum(width[1:])
+    d_sym = (
+        jnp.sqrt(jnp.sum((jnp.abs(d[..., 1:]) * w) ** 2, -1) / total_w)
+        * total_w
+    )
+    d_asym = jnp.sum(jnp.abs((d * asym)[..., 1:]) * w, -1)
+
+    # P.862 per-frame weighting by reference audible power, capped at 45
+    h = ((_total_audible(bark_ref, 1.0) + 1e5) / 1e7) ** 0.04
+    wd = jnp.minimum(d_sym / h, 45.0)
+    wda = jnp.minimum(d_asym / h, 45.0)
+
+    return alpha * jnp.mean(wd) + beta * jnp.mean(wda)
