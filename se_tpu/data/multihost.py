@@ -19,7 +19,7 @@ from typing import Iterator, Tuple
 
 import numpy as np
 
-from .dataset import WaveDataset
+from .dataset import WaveDataset, gather_pairs
 
 
 def host_shard(n: int, process_index: int, process_count: int):
@@ -113,19 +113,19 @@ class MultiHostLoader:
         if self.shuffle:
             # identical across hosts: keyed only by (seed, epoch)
             np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         self._epoch += 1
         lo = self.process_index * self.local_batch
         hi = lo + self.local_batch
         stop = (n // self.global_batch) * self.global_batch
         for start in range(0, stop, self.global_batch):
             idx = order[start : start + self.global_batch][lo:hi]
-            data = np.asarray(self.dataset.data[idx], np.float32)
-            yield data[:, 0], data[:, 1]
+            yield gather_pairs(self.dataset, idx)
         if n - stop and not self.drop_last:
             # wrap-pad the tail cyclically to a full static-shape batch
             idx = np.resize(order[stop:], self.global_batch)[lo:hi]
-            data = np.asarray(self.dataset.data[idx], np.float32)
-            yield data[:, 0], data[:, 1]
+            yield gather_pairs(self.dataset, idx)
 
 
 def make_global_batch(mesh, local_noisy, local_clean, axis: str = "data"):

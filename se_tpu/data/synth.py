@@ -7,7 +7,9 @@ every requested SNR with a random noise file, validation picks a random
 SNR per file (:102-168).
 
 Resampling uses scipy polyphase filtering instead of librosa (not in this
-image).  ``mix_at_snr`` also powers the on-the-fly training pipeline.
+image).  ``mix_at_snr`` also powers the on-the-fly training pipeline:
+``se_tpu.data.MixingDataset`` draws a fresh noise crop + random SNR per
+epoch and plugs directly into the Trainer (dataset.py).
 """
 
 from __future__ import annotations

@@ -25,6 +25,15 @@ from .steps import make_train_step, make_eval_step
 from .checkpoint import save_checkpoint, restore_checkpoint, copy_best_checkpoint
 
 
+def _as_dataset(d, mode: str):
+    """Paths and [N, 2, T] arrays are wrapped in WaveDataset; anything
+    already dataset-like (WaveDataset, MixingDataset, any object with
+    __len__/__getitem__) plugs in as-is."""
+    if isinstance(d, (str, np.ndarray)):
+        return WaveDataset(d, mode)
+    return d
+
+
 def write_status_to_log_file(fp, total_parameters: int):
     """reference: train_interface.py:21-29."""
     lt = time.localtime()
@@ -102,7 +111,7 @@ class Trainer:
             from ..data import MultiHostLoader, make_global_batch
 
             self.train_loader = MultiHostLoader(
-                WaveDataset(self.train_data, "train"),
+                _as_dataset(self.train_data, "train"),
                 cfg.train.batch,
                 seed=cfg.train.seed,
             )
@@ -114,7 +123,7 @@ class Trainer:
             self._place_batch = _place
         else:
             self.train_loader = DataLoader(
-                WaveDataset(self.train_data, "train"),
+                _as_dataset(self.train_data, "train"),
                 cfg.train.batch,
                 shuffle=True,
                 drop_last=True,
@@ -129,14 +138,14 @@ class Trainer:
             from ..data import MultiHostLoader
 
             self.valid_loader = MultiHostLoader(
-                WaveDataset(self.valid_data, "valid"),
+                _as_dataset(self.valid_data, "valid"),
                 cfg.train.batch,
                 shuffle=False,
                 drop_last=False,
             )
         else:
             self.valid_loader = DataLoader(
-                WaveDataset(self.valid_data, "valid"), cfg.train.batch
+                _as_dataset(self.valid_data, "valid"), cfg.train.batch
             )
 
         # resume vs fresh run (reference: train_interface.py:101-138)
