@@ -9,8 +9,10 @@ tile them onto the MXU; causal padding is applied by the caller.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -20,6 +22,88 @@ def _pair(v) -> Tuple[int, int]:
     if isinstance(v, (tuple, list)):
         return tuple(v)
     return (v, v)
+
+
+@lru_cache(maxsize=32)
+def _s2d_scatter(kh: int, r: int, sf: int, pf: int):
+    """Constant one-hot scatter E[k, u, d, j] mapping kernel tap k at
+    block-local output u to (block offset d, block-local input j):
+    sf*u + k - pf == (d_min + d)*blk + j.  Returns (E, d_min, n_taps)."""
+    blk = sf * r
+    jmin = -pf
+    jmax = sf * (r - 1) + kh - 1 - pf
+    d_min = jmin // blk  # floor division: -1 for pf <= blk
+    d_max = jmax // blk
+    n_taps = d_max - d_min + 1
+    E = np.zeros((kh, r, n_taps, blk), np.float32)
+    for k in range(kh):
+        for u in range(r):
+            d, j = divmod(sf * u + k - pf - d_min * blk, blk)
+            E[k, u, d, j] = 1.0
+    return E, d_min, n_taps
+
+
+def conv2d_freq_s2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    r: int = 4,
+    stride=(2, 1),
+    padding=(2, 0),
+) -> jnp.ndarray:
+    """``conv2d(x, w, b, stride, padding)`` for small channel counts,
+    reformulated as a polyphase space-to-depth block conv so the MXU sees
+    a real contraction.
+
+    The frequency axis is folded into channels in blocks of ``sf*r``; each
+    block of ``r`` output frequencies then depends on ``n_taps`` (usually 3)
+    input blocks, giving ONE conv with contraction ``C*sf*r*n_taps*kw`` and
+    output features ``O*r`` — MXU-sized where the direct form's
+    ``C*kh*kw``-deep GEMM runs at percent-level utilisation (docs/PERF.md:
+    the ci<=32 encoder stages).  FLOP inflation is ``n_taps*sf*r/kh`` (~6r/5
+    for the (5,2)/(2,1) stages); the win is utilisation, not FLOPs.
+
+    Exact-equivalence requirements (assert-checked): time padding already
+    applied by the caller (padding[1] == 0), F divisible by ``sf*r``, and
+    the conv's own zero padding must coincide with zero blocks — which
+    holds whenever ``pf <= sf*r`` and ``F_out == F // sf``.
+    """
+    stride, padding = _pair(stride), _pair(padding)
+    sf, st = stride
+    pf, pt = padding
+    assert st == 1 and pt == 0, "time axis must be pre-padded, stride 1"
+    B, C, F, T = x.shape
+    O, I, kh, kw = w.shape
+    assert I == C
+    blk = sf * r
+    assert pf <= blk, (pf, blk)
+    assert F % blk == 0, (F, blk)
+    P = F // blk
+    F_out = (F + 2 * pf - kh) // sf + 1
+    assert F_out == r * P, (F_out, r, P)
+
+    E, d_min, n_taps = _s2d_scatter(kh, r, sf, pf)
+    # [O, r, C, blk, n_taps, kw] -> [O*r, C*blk, n_taps, kw]
+    wblk = jnp.einsum("ockt,kudj->oucjdt", w, jnp.asarray(E))
+    wblk = wblk.reshape(O * r, C * blk, n_taps, kw).astype(x.dtype)
+
+    xb = x.reshape(B, C, P, blk, T).transpose(0, 1, 3, 2, 4)
+    xb = xb.reshape(B, C * blk, P, T)
+    dn = lax.conv_dimension_numbers(
+        xb.shape, wblk.shape, ("NCHW", "OIHW", "NCHW")
+    )
+    out = lax.conv_general_dilated(
+        xb,
+        wblk,
+        window_strides=(1, 1),
+        padding=[(-d_min, n_taps - 1 + d_min), (0, 0)],
+        dimension_numbers=dn,
+    )  # [B, O*r, P, T-kw+1]
+    out = out.reshape(B, O, r, P, out.shape[-1]).transpose(0, 1, 3, 2, 4)
+    out = out.reshape(B, O, F_out, out.shape[-1])
+    if b is not None:
+        out = out + b.astype(x.dtype)[None, :, None, None]
+    return out
 
 
 def conv2d(

@@ -258,6 +258,8 @@ class Trainer:
         they are copies of real validation rows, so the bias is bounded to
         that one batch and documented here.)
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.cfg
         sums, wsum = {}, 0
         pesq_sum = stoi_sum = 0.0
@@ -267,7 +269,14 @@ class Trainer:
         counts = getattr(self.valid_loader, "valid_per_batch", None)
         score_path = os.path.join(self.dir_to_save, f"Epoch_{epoch}_SCORES")
         last = None
-        with open(score_path, "a") as f_score:
+        # Host-side PESQ/STOI scoring runs on a single pipeline thread so
+        # the accelerator starts the NEXT batch's eval_step while the host
+        # scores this one: the validate epoch costs
+        # ~max(eval time, scoring time) instead of their sum.  One worker
+        # keeps batch order (scoring itself fans out across host CPUs
+        # inside _score via the process pool).
+        futures = []
+        with ThreadPoolExecutor(max_workers=1) as score_pool:
             for bi, (noisy, clean) in enumerate(self._feed(self.valid_loader)):
                 metrics, outputs = self.eval_step(self.state, noisy, clean)
 
@@ -285,14 +294,18 @@ class Trainer:
 
                 if len(est) == 0:
                     continue  # this host holds only padding in the tail
-                pesq_s, stoi_s = self._score(est, cln)
+                futures.append(score_pool.submit(self._score, est, cln))
+                n_scored += len(est)
+                last = (self._to_host(noisy)[0], cln[0], est[0])
+
+        with open(score_path, "a") as f_score:
+            for fut in futures:
+                pesq_s, stoi_s = fut.result()
                 # per-sample scores (reference: trainer.py:221-222)
                 for p, s in zip(pesq_s, stoi_s):
                     f_score.write(f"PESQ {p:.6f} | STOI {s:.6f}\n")
                 pesq_sum += float(sum(pesq_s))
                 stoi_sum += float(sum(stoi_s))
-                n_scored += len(est)
-                last = (self._to_host(noisy)[0], cln[0], est[0])
 
         if wsum == 0:
             raise ValueError(

@@ -104,3 +104,50 @@ def test_fullsubnet_loop_end_to_end(tmp_path):
     mse = t.run()
     assert np.isfinite(mse[0]) and mse[0] != 0
     assert os.path.exists(os.path.join(t.dir_to_save, "chkpt_opt"))
+
+
+def test_validation_scoring_overlaps_eval(tmp_path):
+    """Scoring of batch i must run concurrently with batch i+1's eval_step
+    (producer/consumer pipeline): the second eval call starts BEFORE the
+    first batch's scoring finishes."""
+    import time
+    import numpy as np
+    from se_tpu.config import TrainConfig
+    from se_tpu.train.loop import Trainer
+    from tests.test_models import small_cfg
+
+    rng = np.random.default_rng(0)
+    train = rng.standard_normal((4, 2, 16000)).astype(np.float32) * 0.05
+    valid = rng.standard_normal((4, 2, 16000)).astype(np.float32) * 0.05
+    events = []
+
+    def slow_score(est, clean):
+        events.append(("score_start", time.perf_counter()))
+        time.sleep(1.0)
+        events.append(("score_end", time.perf_counter()))
+        return [2.0] * len(est), [0.9] * len(est)
+
+    cfg = small_cfg(model="CRN", lstm="real", loss="MSE").replace(
+        train=TrainConfig(
+            max_epochs=1,
+            batch=2,
+            job_dir=str(tmp_path / "models") + "/",
+            logs_dir=str(tmp_path / "logs") + "/",
+        )
+    )
+    t = Trainer(cfg, train, valid, score_fn=slow_score)
+    t.setup()
+    real_eval = t.eval_step
+
+    def traced_eval(state, noisy, clean):
+        events.append(("eval_start", time.perf_counter()))
+        out = real_eval(state, noisy, clean)
+        return out
+
+    t.eval_step = traced_eval
+    t.validate_epoch(epoch=1)
+    kinds = [k for k, _ in events]
+    assert kinds.count("eval_start") == 2 and kinds.count("score_start") == 2
+    ts = {(k, kinds[: i + 1].count(k)): v for i, (k, v) in enumerate(events)}
+    # second eval starts while the first batch is still being scored
+    assert ts[("eval_start", 2)] < ts[("score_end", 1)], events

@@ -112,11 +112,23 @@ def im2col_dot(x, wmat, ci2, dtype):
     return jnp.dot(patches, wmat, preferred_element_type=jnp.float32)
 
 
+def s2d_block(x, wb, r, dtype):
+    """Polyphase space-to-depth freq conv (se_tpu.ops.conv.conv2d_freq_s2d):
+    folds r output freqs into channels so K = 2ci*2r*3*kw, N = 2co*r."""
+    from se_tpu.ops.conv import conv2d_freq_s2d
+
+    return conv2d_freq_s2d(
+        x.astype(dtype), wb.astype(dtype), None, r=r,
+        stride=(2, 1), padding=(2, 0),
+    )
+
+
 def run_conv_bench():
     rng = np.random.default_rng(0)
     total = {}
     for name in ("dbatch_f32", "dbatch_bf16", "block_f32", "block_bf16",
-                 "nhwc_bf16", "nhwc_f32", "im2col_bf16"):
+                 "nhwc_bf16", "nhwc_f32", "im2col_bf16",
+                 "s2d_bf16", "s2d_f32"):
         total[name] = [0.0, 0.0]  # fwd, fwd+bwd
     print(f"B={B} T={T} kernel=({KH},{KW}) stride=(2,1)")
     for si, (ci, co, f_in) in enumerate(STAGES):
@@ -142,6 +154,13 @@ def run_conv_bench():
             "nhwc_bf16": (block_matrix_nhwc, (xn, wn, jnp.bfloat16)),
             "im2col_bf16": (im2col_dot, (xn, wm, 2 * ci, jnp.bfloat16)),
         }
+        # s2d r-sweep for the small-channel stages (K = 2ci*2r*3*kw)
+        r_cands = [rr for rr in (2, 4, 8, 16)
+                   if 2 * ci * 2 * rr * 6 <= 2048 and (f_in // 2) % rr == 0
+                   and 2 * ci <= 64]
+        for rr in r_cands:
+            cases[f"s2d_r{rr}_f32"] = (s2d_block, (x, wb, rr, jnp.float32))
+            cases[f"s2d_r{rr}_bf16"] = (s2d_block, (x, wb, rr, jnp.bfloat16))
         print(f"stage {si}: ci={ci} co={co} F={f_in} ({gf:.1f} GFLOP)")
         for name, (fn, args) in cases.items():
             static = args[2:]
@@ -160,8 +179,9 @@ def run_conv_bench():
             except Exception as e:
                 print(f"  {name:12s} FAILED: {type(e).__name__}")
                 continue
-            total[name][0] += t_f
-            total[name][1] += t_b
+            tot = total.setdefault(name, [0.0, 0.0])
+            tot[0] += t_f
+            tot[1] += t_b
             print(
                 f"  {name:12s} fwd {t_f*1e3:7.2f} ms ({gf/t_f/1e3:6.2f} TF/s)"
                 f"   fwd+bwd {t_b*1e3:7.2f} ms ({3*gf/t_b/1e3:6.2f} TF/s)"
