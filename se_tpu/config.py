@@ -115,6 +115,14 @@ class TrainConfig:
     batch: int = 10
     seed: int = 0
 
+    # TPU memory levers (beyond reference; docs/PERF.md).  grad_accum
+    # splits each batch into N sequential micro-batches inside the jitted
+    # step (activations live one micro-batch at a time, so the EFFECTIVE
+    # batch can exceed the single-chip activation ceiling); adam_mu_dtype
+    # stores Adam's first moment in a narrower dtype (e.g. "bfloat16").
+    grad_accum: int = 1
+    adam_mu_dtype: Optional[str] = None
+
     # Paths (reference: config.py:11-16)
     job_dir: str = "./models/"
     logs_dir: str = "./logs/"
@@ -188,6 +196,12 @@ class Config:
     # kernel [[wr, -wi], [wi, wr]] (full 2ci->2co channel counts, the
     # MXU-friendly shape); "dbatch" = round-1 doubled-batch form.
     conv_variant: str = "block"
+
+    # Small-channel early conv stages as polyphase space-to-depth GEMMs
+    # (se_tpu/ops/conv.py conv2d_freq_s2d): "auto" folds frequency blocks
+    # into the contraction wherever the direct conv's C*kh*kw depth is
+    # MXU-hostile (docs/PERF.md round-3); "off" keeps direct convs.
+    conv_s2d: str = "auto"
 
     # Rematerialise whole encoder/decoder stages (conv+BN+PReLU) in the
     # backward pass — trades recompute for HBM, unlocking larger

@@ -54,6 +54,7 @@ class CRN(nn.Module):
                     kernel_size=(self.kernel_size, 2),
                     stride=(2, 1),
                     padding=(2, 1),
+                    s2d=0 if c.conv_s2d == "off" else -1,
                     name=f"encoder_{idx}_conv",
                 )
             )
@@ -86,6 +87,7 @@ class CRN(nn.Module):
                     stride=(2, 1),
                     padding=(2, 0),
                     output_padding=(1, 0),
+                    s2d=0 if c.conv_s2d == "off" else -1,
                     name=f"decoder_{n_stage - idx}_conv",
                 )
             )

@@ -60,6 +60,7 @@ class DCCRN(nn.Module):
                     padding=(2, 1),
                     use_pallas=c.use_pallas_conv,
                     variant=c.conv_variant,
+                    s2d=0 if c.conv_s2d == "off" else -1,
                     name=f"encoder_{idx}_conv",
                 )
             )
@@ -101,6 +102,7 @@ class DCCRN(nn.Module):
                             if idx == rnn_layers - 1
                             else None
                         ),
+                        mixed_precision=c.compute_dtype == "bfloat16",
                         name=f"enhance_{idx}",
                     )
                 )
@@ -128,6 +130,7 @@ class DCCRN(nn.Module):
                     padding=(2, 0),
                     output_padding=(1, 0),
                     variant=c.conv_variant,
+                    s2d=0 if c.conv_s2d == "off" else -1,
                     name=f"decoder_{n_stage - idx}_conv",
                 )
             )
@@ -195,11 +198,14 @@ class DCCRN(nn.Module):
 
         B, C, D, T = out.shape
         out = jnp.transpose(out, (3, 0, 1, 2))  # [T, B, C, D]
-        # the recurrent bottleneck runs in f32 regardless of compute_dtype:
-        # bf16 error compounds over the 481-step recurrence and destabilises
-        # training (measured: NaN by step ~150), while the LSTM is <5% of
-        # the step; the conv stages keep the bf16 fast path
-        out = out.astype(jnp.float32)
+        # Recurrence precision: a fully-bf16 recurrence compounds roundoff
+        # over the 481-step scan and NaNs by step ~150 (docs/PERF.md).  The
+        # complex path therefore uses the mixed cell (bf16 x_proj/output
+        # streams around an f32 (h, c) carry and f32 gate math,
+        # se_tpu/ops/rnn.py) under compute_dtype=bfloat16; the real-LSTM
+        # path runs f32 throughout.
+        if c.lstm != "complex" or c.compute_dtype != "bfloat16":
+            out = out.astype(jnp.float32)
         if c.lstm == "complex":
             r_in = out[:, :, : C // 2].reshape(T, B, C // 2 * D)
             i_in = out[:, :, C // 2 :].reshape(T, B, C // 2 * D)

@@ -27,6 +27,39 @@ def _normal05(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * 0.05
 
 
+def _pick_s2d(s2d, in_channels, kernel_size, stride, f_in) -> int:
+    """Resolve the space-to-depth fold for a freq-strided conv stage:
+    s2d = -1 auto-selects (conv_ops.auto_s2d_r), 0 disables, >0 forces r.
+    Only freq-stride-2 / time-stride-1 stages qualify."""
+    if s2d == 0 or tuple(stride) != (2, 1):
+        return 0
+    if s2d > 0:
+        return s2d
+    return conv_ops.auto_s2d_r(
+        in_channels, kernel_size[0], kernel_size[1], f_in
+    )
+
+
+def _pick_s2d_transpose(s2d, out_channels, kernel_size, stride,
+                        padding, output_padding, f_in) -> int:
+    """Transpose-side resolution: the adjoint GEMM's contraction depth is
+    set by the OUTPUT channel count, and the fold must divide the output
+    frequency length."""
+    if s2d == 0 or tuple(stride) != (2, 1):
+        return 0
+    if tuple(padding)[1] != 0 or tuple(output_padding)[1] != 0:
+        return 0
+    f_out = (
+        (f_in - 1) * stride[0] - 2 * padding[0]
+        + kernel_size[0] + output_padding[0]
+    )
+    if s2d > 0:
+        return s2d
+    return conv_ops.auto_s2d_r(
+        out_channels, kernel_size[0], kernel_size[1], f_out
+    )
+
+
 def _torch_linear_init(key, fan_in, shape, dtype=jnp.float32):
     bound = 1.0 / jnp.sqrt(fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
@@ -152,6 +185,7 @@ class RealConv2d(nn.Module):
     stride: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int] = (0, 0)
     causal: bool = True
+    s2d: int = 0  # -1 auto, 0 off, >0 explicit freq fold r
 
     @nn.compact
     def __call__(self, x):
@@ -166,6 +200,12 @@ class RealConv2d(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pw, 0)))
         else:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pw, pw)))
+        r = _pick_s2d(self.s2d, self.in_channels, self.kernel_size,
+                      self.stride, x.shape[2])
+        if r:
+            return conv_ops.conv2d_freq_s2d(
+                x, w, b, r=r, stride=self.stride, padding=(ph, 0)
+            )
         return conv_ops.conv2d(x, w, b, stride=self.stride, padding=(ph, 0))
 
 
@@ -178,6 +218,7 @@ class RealConvTranspose2d(nn.Module):
     stride: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int] = (0, 0)
     output_padding: Tuple[int, int] = (0, 0)
+    s2d: int = 0  # -1 auto, 0 off, >0 explicit freq fold r
 
     @nn.compact
     def __call__(self, x):
@@ -187,6 +228,15 @@ class RealConvTranspose2d(nn.Module):
             (self.in_channels, self.out_channels, *self.kernel_size),
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        r = _pick_s2d_transpose(
+            self.s2d, self.out_channels, self.kernel_size, self.stride,
+            self.padding, self.output_padding, x.shape[2],
+        )
+        if r:
+            return conv_ops.conv_transpose2d_freq_s2d(
+                x, w, b, r=r, stride=self.stride, padding=self.padding,
+                output_padding=self.output_padding,
+            )
         return conv_ops.conv_transpose2d(
             x,
             w,
@@ -219,6 +269,7 @@ class ComplexConv2d(nn.Module):
     causal: bool = True
     use_pallas: bool = False
     variant: str = "block"
+    s2d: int = 0  # -1 auto, 0 off, >0 explicit freq fold r
 
     @nn.compact
     def __call__(self, x):
@@ -265,6 +316,12 @@ class ComplexConv2d(nn.Module):
                 axis=0,
             )  # [2co, 2ci, kh, kw]
             bias = jnp.concatenate([br, bi])
+            r = _pick_s2d(self.s2d, self.in_channels, self.kernel_size,
+                          self.stride, x.shape[2])
+            if r:
+                return conv_ops.conv2d_freq_s2d(
+                    x, w, bias, r=r, stride=self.stride, padding=(ph, 0)
+                )
             return conv_ops.conv2d(
                 x, w, bias, stride=self.stride, padding=(ph, 0)
             )
@@ -293,6 +350,7 @@ class ComplexConvTranspose2d(nn.Module):
     padding: Tuple[int, int] = (0, 0)
     output_padding: Tuple[int, int] = (0, 0)
     variant: str = "block"
+    s2d: int = 0  # -1 auto, 0 off, >0 explicit freq fold r
 
     @nn.compact
     def __call__(self, x):
@@ -313,6 +371,16 @@ class ComplexConvTranspose2d(nn.Module):
                 axis=0,
             )  # [2ci, 2co, kh, kw]
             bias = jnp.concatenate([br, bi])
+            r = _pick_s2d_transpose(
+                self.s2d, self.out_channels, self.kernel_size, self.stride,
+                self.padding, self.output_padding, x.shape[2],
+            )
+            if r:
+                return conv_ops.conv_transpose2d_freq_s2d(
+                    x, w, bias, r=r, stride=self.stride,
+                    padding=self.padding,
+                    output_padding=self.output_padding,
+                )
             return conv_ops.conv_transpose2d(
                 x,
                 w,
@@ -459,6 +527,7 @@ class NavieComplexLSTM(nn.Module):
     input_size: int
     hidden_size: int
     projection_dim: Optional[int] = None
+    mixed_precision: bool = False  # bf16 streams around an f32 (h, c) core
 
     @nn.compact
     def __call__(self, inputs, state=None, return_state: bool = False):
@@ -498,7 +567,8 @@ class NavieComplexLSTM(nn.Module):
         B = real.shape[1]
         z = jnp.concatenate([real, imag], axis=1)  # [T, 2B, in_dim]
         ys, final = rnn_ops.lstm_stack(
-            stacked, z, state=state, return_state=True
+            stacked, z, state=state, return_state=True,
+            mixed_precision=self.mixed_precision,
         )  # [2, T, 2B, units]
         r2r, i2r = ys[0, :, :B], ys[0, :, B:]
         r2i, i2i = ys[1, :, :B], ys[1, :, B:]

@@ -43,6 +43,20 @@ def _s2d_scatter(kh: int, r: int, sf: int, pf: int):
     return E, d_min, n_taps
 
 
+def auto_s2d_r(c_in: int, kh: int, kw: int, f_in: int, stride_f: int = 2,
+               k_target: int = 128, r_max: int = 16) -> int:
+    """Pick the frequency fold for ``conv2d_freq_s2d``: the smallest
+    power-of-two r that lifts the contraction C*(stride_f*r)*3*kw to
+    ~k_target.  Returns 0 (disabled) when the direct conv is already
+    MXU-deep (C*kh*kw >= k_target) or the geometry does not divide."""
+    if c_in * kh * kw >= k_target:
+        return 0
+    r = 2
+    while c_in * stride_f * r * 3 * kw < k_target and r < r_max:
+        r *= 2
+    return 0 if f_in % (stride_f * r) else r
+
+
 def conv2d_freq_s2d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -137,6 +151,50 @@ def conv2d(
     )
     if b is not None:
         out = out + b[None, :, None, None]
+    return out
+
+
+def conv_transpose2d_freq_s2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    r: int = 4,
+    stride=(2, 1),
+    padding=(2, 0),
+    output_padding=(1, 0),
+) -> jnp.ndarray:
+    """``conv_transpose2d`` for small OUTPUT channel counts via the
+    space-to-depth GEMM: a transposed conv is exactly the adjoint of the
+    matching forward conv (that is torch's definition of ConvTranspose2d),
+    so this evaluates the vjp of ``conv2d_freq_s2d`` — whose transpose is
+    another stride-1 block conv with the same MXU-sized GEMM shapes.
+
+    x: [B, I, F, T]; w: [I, O, kh, kw] (torch ConvTranspose2d layout).
+    Time axis must be unpadded (padding[1] == output_padding[1] == 0).
+    """
+    stride, padding = _pair(stride), _pair(padding)
+    output_padding = _pair(output_padding)
+    sf, st = stride
+    pf, pt = padding
+    opf, opt = output_padding
+    assert st == 1 and pt == 0 and opt == 0
+    B, I, F_in, T = x.shape
+    _, O, kh, kw = w.shape
+    f_out = (F_in - 1) * sf - 2 * pf + kh + opf
+    t_out = T + kw - 1
+    # torch ConvTranspose2d(I, O) with weight [I, O, kh, kw] is the adjoint
+    # of Conv2d(O, I) whose OIHW weight is that same [I, O, kh, kw] tensor
+
+    def fwd(z):
+        return conv2d_freq_s2d(
+            z, w, None, r=r, stride=(sf, 1), padding=(pf, 0)
+        )
+
+    zeros = jnp.zeros((B, O, f_out, t_out), x.dtype)
+    _, pullback = jax.vjp(fwd, zeros)
+    (out,) = pullback(x)
+    if b is not None:
+        out = out + b.astype(x.dtype)[None, :, None, None]
     return out
 
 

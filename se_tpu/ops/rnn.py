@@ -62,24 +62,37 @@ def init_gru_params(key, input_size: int, hidden_size: int) -> LstmParams:
 
 
 def _lstm_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray, hidden_size: int,
-               h0=None, c0=None, unroll: int = 4):
-    """x_proj: [T, ..., 4H] precomputed input projection (+ biases)."""
+               h0=None, c0=None, unroll: int = 4,
+               carry_dtype=None, out_dtype=None):
+    """x_proj: [T, ..., 4H] precomputed input projection (+ biases).
+
+    ``carry_dtype``/``out_dtype`` enable the mixed-precision recurrence:
+    a bf16 x_proj stream and bf16 emitted outputs (halving the HBM
+    traffic of the sequential phase and its backward stash) around an
+    f32 (h, c) carry and f32 gate arithmetic — bf16 CARRIES compound
+    roundoff over the ~481-step recurrence and NaN by step ~150
+    (docs/PERF.md), but bf16 streams around an f32 core do not.
+    """
     H = hidden_size
+    cdt = carry_dtype or x_proj.dtype
+    odt = out_dtype or x_proj.dtype
     batch_shape = x_proj.shape[1:-1]
-    h = jnp.zeros((*batch_shape, H), x_proj.dtype) if h0 is None else h0
-    c = jnp.zeros((*batch_shape, H), x_proj.dtype) if c0 is None else c0
-    w_hh_t = w_hh.swapaxes(-1, -2)  # [..., H, 4H]
+    h = (jnp.zeros((*batch_shape, H), cdt) if h0 is None
+         else h0.astype(cdt))
+    c = (jnp.zeros((*batch_shape, H), cdt) if c0 is None
+         else c0.astype(cdt))
+    w_hh_t = w_hh.swapaxes(-1, -2).astype(cdt)  # [..., H, 4H]
 
     def step(carry, xp):
         h, c = carry
-        gates = xp + h @ w_hh_t
+        gates = xp.astype(cdt) + h @ w_hh_t
         i = jax.nn.sigmoid(gates[..., 0 * H : 1 * H])
         f = jax.nn.sigmoid(gates[..., 1 * H : 2 * H])
         g = jnp.tanh(gates[..., 2 * H : 3 * H])
         o = jax.nn.sigmoid(gates[..., 3 * H : 4 * H])
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        return (h, c), h
+        return (h, c), h.astype(odt)
 
     # unroll amortises per-step dispatch overhead on TPU; numerics unchanged
     (h, c), ys = lax.scan(step, (h, c), x_proj, unroll=unroll)
@@ -110,9 +123,38 @@ def lstm_stack(
     state=None,  # optional ((h, c)) with h, c of shape [L, B, H]
     return_state: bool = False,
     unroll: int = 4,
+    mixed_precision: bool = False,
 ):
     """L independent LSTMs in ONE scan. Returns [L, T, B, H]
-    (and the final (h, c) when ``return_state``)."""
+    (and the final (h, c) when ``return_state``).
+
+    ``mixed_precision=True`` streams x_proj and the emitted hidden
+    sequence in bf16 while keeping the (h, c) carry, the recurrent
+    matmul accumulation, and the gate arithmetic in f32 (see _lstm_scan).
+    Output dtype is then bf16.
+    """
+    if mixed_precision:
+        x16 = x.astype(jnp.bfloat16)
+        w_ih16 = params.w_ih.astype(jnp.bfloat16)
+        if x.ndim == 3:
+            x_proj = jnp.einsum("tbi,lgi->tlbg", x16, w_ih16)
+        else:
+            x_proj = jnp.einsum("ltbi,lgi->tlbg", x16, w_ih16)
+        bias = (params.b_ih + params.b_hh).astype(jnp.bfloat16)
+        x_proj = x_proj + bias[None, :, None, :]
+        h0 = c0 = None
+        if state is not None:
+            h0, c0 = state
+        H = params.w_hh.shape[1] // 4
+        ys, final = _lstm_scan(
+            x_proj, params.w_hh.astype(jnp.float32), H, h0, c0, unroll,
+            carry_dtype=jnp.float32, out_dtype=jnp.bfloat16,
+        )
+        ys = ys.swapaxes(0, 1)  # [L, T, B, H]
+        if return_state:
+            return ys, final
+        return ys
+
     params = LstmParams(*[p.astype(x.dtype) for p in params])
     L, fourH, In = params.w_ih.shape
     H = fourH // 4

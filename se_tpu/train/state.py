@@ -38,8 +38,21 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """torch.optim.Adam parity: lr, betas (0.9, 0.999), eps 1e-8, no
-    weight decay (reference: train_interface.py:59)."""
-    return optax.adam(cfg.train.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    weight decay (reference: train_interface.py:59).
+
+    ``cfg.train.adam_mu_dtype`` optionally stores the first moment in a
+    narrower dtype (optax mu_dtype); the second moment stays f32 — it
+    needs precision near zero that bf16 lacks."""
+    import jax.numpy as jnp
+
+    mu_dtype = (
+        jnp.dtype(cfg.train.adam_mu_dtype)
+        if cfg.train.adam_mu_dtype else None
+    )
+    return optax.adam(
+        cfg.train.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+        mu_dtype=mu_dtype,
+    )
 
 
 def create_train_state(cfg: Config, seed: int | None = None) -> tuple:

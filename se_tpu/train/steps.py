@@ -145,20 +145,74 @@ def _loss_and_outputs(cfg: Config, model, params, batch_stats, inputs, targets,
 
 def make_train_step(cfg: Config, model) -> Callable:
     """One optimisation step: grads through the full stack incl. STFT GEMMs
-    (reference hot loop: trainer.py:23-40)."""
+    (reference hot loop: trainer.py:23-40).
+
+    With ``cfg.train.grad_accum = A > 1`` the batch is processed as A
+    sequential micro-batches inside ONE jitted step (lax.scan): gradients
+    are averaged, batch statistics thread through the chunks (each
+    micro-forward updates the running stats, like feeding the chunks as
+    separate batches), and a single optimiser update is applied.  Only
+    one micro-batch's activations are live at a time, so the EFFECTIVE
+    batch can exceed the single-chip activation ceiling (docs/PERF.md).
+    """
+    accum = cfg.train.grad_accum
+    variant = trainer_variant(cfg)
 
     def train_step(state, inputs, targets, dropout_rng):
-        def loss_fn(params):
-            return _loss_and_outputs(
-                cfg, model, params, state.batch_stats, inputs, targets,
-                train=True, dropout_rng=dropout_rng,
-            )
+        if accum == 1:
+            def loss_fn(params):
+                return _loss_and_outputs(
+                    cfg, model, params, state.batch_stats, inputs, targets,
+                    train=True, dropout_rng=dropout_rng,
+                )
 
-        (loss, (aux, _, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            (loss, (aux, _, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            state = state.apply_gradients(grads, new_batch_stats=new_bs)
+            metrics = {"loss": loss, **aux}
+            return state, metrics
+
+        B = inputs.shape[0]
+        assert B % accum == 0, (B, accum)
+        mb = B // accum
+        xs = (
+            inputs.reshape(accum, mb, *inputs.shape[1:]),
+            targets.reshape(accum, mb, *targets.shape[1:]),
+            jax.random.split(dropout_rng, accum),
+        )
+        aux0 = (
+            {"main_loss": 0.0, "perceptual_loss": 0.0}
+            if variant == "perceptual" else {}
+        )
+        grads0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, chunk):
+            grads_acc, bs, loss_acc, aux_acc = carry
+            x, y, key = chunk
+
+            def loss_fn(params):
+                return _loss_and_outputs(
+                    cfg, model, params, bs, x, y,
+                    train=True, dropout_rng=key,
+                )
+
+            (loss, (aux, _, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g, grads_acc, grads
+            )
+            aux_acc = {k: aux_acc[k] + aux[k] for k in aux_acc}
+            return (grads_acc, new_bs, loss_acc + loss, aux_acc), None
+
+        (grads, new_bs, loss, aux), _ = jax.lax.scan(
+            body, (grads0, state.batch_stats, 0.0, aux0), xs
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
         state = state.apply_gradients(grads, new_batch_stats=new_bs)
-        metrics = {"loss": loss, **aux}
+        metrics = {"loss": loss / accum,
+                   **{k: v / accum for k, v in aux.items()}}
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))

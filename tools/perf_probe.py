@@ -241,7 +241,7 @@ def run_step_bench(batches=(40,), train=True, **cfg_kw):
         )
 
 
-def run_lstm_bench(B=96):
+def run_lstm_bench(B=112):
     """Complex-LSTM bottleneck cost (fwd and fwd+bwd) with in-jit loops."""
     from se_tpu.ops import rnn as rnn_ops
 
@@ -264,22 +264,31 @@ def run_lstm_bench(B=96):
     p0 = make_params(jax.random.PRNGKey(0), in_dim)
     p1 = make_params(jax.random.PRNGKey(1), units)
 
-    for unroll in (1, 4, 8, 16):
-        def fwd(x, p0=p0, p1=p1, unroll=unroll):
-            ys = rnn_ops.lstm_stack(p0, x, unroll=unroll)
-            # complex recombine between layers (r2r - i2i etc.)
-            Bh = x.shape[1] // 2
-            r = ys[0, :, :Bh] - ys[1, :, Bh:]
-            i = ys[0, :, Bh:] + ys[1, :, :Bh]
-            z = jnp.concatenate([r, i], axis=1)
-            ys2 = rnn_ops.lstm_stack(p1, z, unroll=unroll)
-            return jnp.sum(ys2.astype(jnp.float32) ** 2)
+    for mode in ("f32", "mixed", "bf16_all"):
+        for unroll in (4, 8, 16, 32):
+            def fwd(x, p0=p0, p1=p1, unroll=unroll, mode=mode):
+                mixed = mode == "mixed"
+                if mode == "bf16_all":
+                    x = x.astype(jnp.bfloat16)
+                ys = rnn_ops.lstm_stack(
+                    p0, x, unroll=unroll, mixed_precision=mixed
+                )
+                # complex recombine between layers (r2r - i2i etc.)
+                Bh = x.shape[1] // 2
+                r = ys[0, :, :Bh] - ys[1, :, Bh:]
+                i = ys[0, :, Bh:] + ys[1, :, :Bh]
+                z = jnp.concatenate([r, i], axis=1)
+                ys2 = rnn_ops.lstm_stack(
+                    p1, z, unroll=unroll, mixed_precision=mixed
+                )
+                return jnp.sum(ys2.astype(jnp.float32) ** 2)
 
-        jf = jax.jit(fwd)
-        jg = jax.jit(jax.grad(fwd))
-        tf = timeit(jf, x, iters=10)
-        tb = timeit(jg, x, iters=10)
-        print(f"unroll={unroll:2d}: fwd {tf*1e3:7.2f} ms   fwd+bwd {tb*1e3:7.2f} ms")
+            jf = jax.jit(fwd)
+            jg = jax.jit(jax.grad(fwd))
+            tf = timeit(jf, x, iters=10)
+            tb = timeit(jg, x, iters=10)
+            print(f"{mode:8s} unroll={unroll:2d}: fwd {tf*1e3:7.2f} ms"
+                  f"   fwd+bwd {tb*1e3:7.2f} ms")
 
 
 if __name__ == "__main__":
