@@ -200,8 +200,13 @@ class Config:
     # Small-channel early conv stages as polyphase space-to-depth GEMMs
     # (se_tpu/ops/conv.py conv2d_freq_s2d): "auto" folds frequency blocks
     # into the contraction wherever the direct conv's C*kh*kw depth is
-    # MXU-hostile (docs/PERF.md round-3); "off" keeps direct convs.
-    conv_s2d: str = "auto"
+    # MXU-hostile.  Default OFF: measured end-to-end on v5e the fold
+    # LOSES (train 364.5 vs 401.1 utt/s, enhance 1252.9 vs 1521.7 at
+    # B=112/96 bf16) — the FLOP inflation and the reshape/transpose
+    # breaks in XLA's conv+BN+PReLU fusion chains outweigh the GEMM-shape
+    # win at these sizes (docs/PERF.md round-3).  Kept as an exact,
+    # tested formulation ("auto"/explicit r) for larger-F regimes.
+    conv_s2d: str = "off"
 
     # Rematerialise whole encoder/decoder stages (conv+BN+PReLU) in the
     # backward pass — trades recompute for HBM, unlocking larger

@@ -1,8 +1,8 @@
-"""Measure the PyTorch reference-architecture DCCRN throughput on this
-host's CPU — the constructed baseline for BASELINE.md (the upstream repo
+"""Measure the PyTorch reference-architecture throughput on this host's
+CPU — the constructed baseline for BASELINE.md (the upstream repo
 publishes no numbers, SURVEY.md section 6).
 
-Run: python tools/measure_torch_baseline.py
+Run: python tools/measure_torch_baseline.py [dccrn|crn|fullsubnet]
 """
 
 import time
@@ -86,5 +86,89 @@ def main():
         print(f"torch.compile unavailable/failed: {type(e).__name__}: {e}")
 
 
+def _time_steps(train_step, infer, B, n=3):
+    train_step()
+    t0 = time.time()
+    for _ in range(n):
+        train_step()
+    dt = (time.time() - t0) / n
+    print(f"train step (eager): {dt:.3f}s -> {B / dt:.3f} utt/s")
+    with torch.no_grad():
+        infer()
+        t0 = time.time()
+        for _ in range(n):
+            infer()
+        dt = (time.time() - t0) / n
+    print(f"enhance (eager): {dt:.3f}s -> {B / dt:.3f} utt/s")
+
+
+def main_crn():
+    """Reference CRN (magnitude masking, MSE on waveform — the tutorial
+    config) on this host's CPU."""
+    from tests.oracles.torch_crn import OracleCRN
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    model = OracleCRN()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    B, L = 10, 48000
+    x = torch.randn(B, L) * 0.1
+    y = torch.randn(B, L) * 0.1
+
+    def step():
+        out = model(x)
+        wav = out[-1]
+        loss = torch.nn.functional.mse_loss(wav, y)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    _time_steps(step, lambda: model(x), B)
+
+
+def main_fullsubnet():
+    """Reference FullSubNet (cIRM target, MSE — trainer.py:85-118) on
+    this host's CPU.  B=2: the sub-band stage batches B*257 sequences,
+    far heavier per utterance than DCCRN/CRN on one CPU core."""
+    from tests.oracles.torch_fullsubnet import OracleFullSubNet
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    model = OracleFullSubNet()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    B, L = 2, 48000
+    x = torch.randn(B, L) * 0.1
+    y = torch.randn(B, L) * 0.1
+
+    def step():
+        win = torch.hann_window(400)
+        nc = torch.stft(x, 512, 300, 400, win, return_complex=True)
+        cc = torch.stft(y, 512, 300, 400, win, return_complex=True)
+        mag = nc.abs()
+        denom = nc.real**2 + nc.imag**2 + 1e-8
+        cr = (nc.real * cc.real + nc.imag * cc.imag) / denom
+        ci = (nc.real * cc.imag - nc.imag * cc.real) / denom
+        cirm = torch.stack([cr, ci], dim=-1)
+        cirm = 10.0 * (1 - torch.exp(-0.1 * cirm)) / (1 + torch.exp(-0.1 * cirm))
+        crm = model(mag)
+        loss = torch.nn.functional.mse_loss(cirm, crm)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    def infer():
+        win = torch.hann_window(400)
+        nc = torch.stft(x, 512, 300, 400, win, return_complex=True)
+        model(nc.abs())
+
+    _time_steps(step, infer, B)
+
+
 if __name__ == "__main__":
-    main()
+    which = sys.argv[1] if len(sys.argv) > 1 else "dccrn"
+    if which == "crn":
+        main_crn()
+    elif which == "fullsubnet":
+        main_fullsubnet()
+    else:
+        main()

@@ -202,7 +202,13 @@ def run_step_bench(batches=(40,), train=True, **cfg_kw):
     from se_tpu.train import create_train_state, make_train_step
     from se_tpu.train.steps import make_eval_step
 
+    ga = cfg_kw.pop("grad_accum", 1)
     cfg = Config(**cfg_kw)
+    if ga > 1:
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, grad_accum=ga))
+        cfg_kw["grad_accum"] = ga  # keep it visible in the printout
     model, state = create_train_state(cfg)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
@@ -239,6 +245,89 @@ def run_step_bench(batches=(40,), train=True, **cfg_kw):
         print(
             f"B={B}: {dt*1e3:7.1f} ms/step  {B/dt:7.1f} utt/s  cfg={cfg_kw}"
         )
+
+
+def run_section_bench(B=112, **cfg_kw):
+    """In-context section timing of the real DCCRN forward: each timed
+    call is a whole jitted subgraph (STFT+encoder / +LSTM / full forward /
+    train step), so the tunnel's per-dispatch floor (~3-4 ms, which
+    poisons per-op microbenchmarks here) amortises away.  Differences
+    between sections give honest in-step shares."""
+    import flax.linen as nn
+    from se_tpu.config import Config
+    from se_tpu.train import create_train_state, make_train_step
+
+    cfg = Config(**cfg_kw)
+    model, state = create_train_state(cfg)
+    rng = np.random.default_rng(0)
+    L = cfg.stft.fs * 3
+    noisy = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
+    clean = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def _sections(mdl, x):
+        from se_tpu.dsp import conv_stft
+
+        c = mdl.cfg
+        specs = conv_stft(x, mdl.stft_kernels)
+        dim = mdl.fft_len // 2 + 1
+        real, imag = specs[:, :dim], specs[:, dim:]
+        cspecs = jnp.stack([real, imag], axis=1)[:, :, 1:]  # [B, 2, F, T]
+        compute_dtype = (
+            jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        )
+        out = cspecs.astype(compute_dtype)
+        for i in range(len(mdl.encoder)):
+            out = mdl.encoder_act[i](
+                mdl.encoder_bn[i](mdl.encoder[i](out), train=False)
+            )
+        enc = out
+        Bs, C, D, T = out.shape
+        out = jnp.transpose(out, (3, 0, 1, 2))
+        if c.lstm != "complex" or c.compute_dtype != "bfloat16":
+            out = out.astype(jnp.float32)
+        if c.lstm == "complex":
+            r_in = out[:, :, : C // 2].reshape(T, Bs, C // 2 * D)
+            i_in = out[:, :, C // 2 :].reshape(T, Bs, C // 2 * D)
+            for rnn_mod in mdl.enhance:
+                r_in, i_in = rnn_mod([r_in, i_in])
+            lstm_out = jnp.concatenate([r_in, i_in], axis=-1)
+        else:
+            z = out.reshape(T, Bs, C * D)
+            z = mdl.enhance_lstm(z, train=False)
+            lstm_out = mdl.tranform(z)
+        return enc, lstm_out
+
+    enc_fn = jax.jit(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: _sections(m, xx)[0]))
+    lstm_fn = jax.jit(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: _sections(m, xx)[1]))
+    fwd_fn = jax.jit(lambda v, x: model.apply(v, x, train=False)[-1])
+    step = make_train_step(cfg, model)
+    key = jax.random.PRNGKey(0)
+
+    names = []
+    for name, fn, args in (
+        ("stft+encoder fwd", enc_fn, (variables, noisy)),
+        ("+complex LSTM fwd", lstm_fn, (variables, noisy)),
+        ("full forward", fwd_fn, (variables, noisy)),
+    ):
+        t = timeit(fn, *args, iters=10)
+        names.append((name, t))
+        print(f"{name:20s} {t*1e3:8.2f} ms")
+    st, m = step(state, noisy, clean, key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        st, m = step(st, noisy, clean, key)
+    float(m["loss"])
+    t = (time.perf_counter() - t0) / 10
+    print(f"{'train step':20s} {t*1e3:8.2f} ms")
+    enc_t = names[0][1]
+    lstm_t = names[1][1] - names[0][1]
+    dec_t = names[2][1] - names[1][1]
+    print(f"shares of fwd: encoder {enc_t*1e3:.1f} ms, "
+          f"lstm {lstm_t*1e3:.1f} ms, decoder+mask+istft {dec_t*1e3:.1f} ms")
 
 
 def run_lstm_bench(B=112):
@@ -298,6 +387,15 @@ if __name__ == "__main__":
         run_conv_bench()
     elif mode == "lstm":
         run_lstm_bench()
+    elif mode == "sections":
+        kw = {}
+        for a in sys.argv[2:]:
+            k, v = a.split("=")
+            kw[k] = (
+                v == "True" if v in ("True", "False") else
+                int(v) if v.isdigit() else v
+            )
+        run_section_bench(kw.pop("B", 112), **kw)
     elif mode == "step":
         kw = {}
         for a in sys.argv[2:]:
