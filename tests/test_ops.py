@@ -271,3 +271,107 @@ def test_safe_arctan2_forward_identical_and_nan_free_gradient():
     )
     g = jax.grad(lambda a, b: jnp.sum(safe_arctan2(a, b)), argnums=(0, 1))(y, x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_conv2d_freq_s2d_exact_parity():
+    """Space-to-depth freq conv == direct conv (values and gradients) for
+    every DCCRN/CRN stage geometry and fold."""
+    import jax
+    import jax.numpy as jnp
+    from se_tpu.ops.conv import conv2d, conv2d_freq_s2d
+
+    rng = np.random.default_rng(0)
+    for (C, O, F, r) in [(2, 32, 256, 8), (1, 16, 256, 16), (32, 64, 128, 2),
+                         (2, 32, 256, 4), (64, 128, 64, 2)]:
+        x = jnp.asarray(rng.standard_normal((2, C, F, 9)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((O, C, 5, 2)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((O,)), jnp.float32)
+        ref = conv2d(x, w, b, stride=(2, 1), padding=(2, 0))
+        got = conv2d_freq_s2d(x, w, b, r=r, stride=(2, 1), padding=(2, 0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4), (C, O, F, r)
+
+    def la(x, w):
+        return jnp.sum(conv2d(x, w, None, stride=(2, 1), padding=(2, 0)) ** 2)
+
+    def lb(x, w):
+        return jnp.sum(
+            conv2d_freq_s2d(x, w, None, r=4, stride=(2, 1), padding=(2, 0))
+            ** 2
+        )
+
+    x = jnp.asarray(rng.standard_normal((2, 2, 64, 7)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((8, 2, 5, 2)) * 0.1, jnp.float32)
+    ga, gb = jax.grad(la, (0, 1))(x, w), jax.grad(lb, (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), atol=1e-3)
+
+
+def test_conv_transpose2d_freq_s2d_exact_parity():
+    """Adjoint-form transpose s2d == direct transpose conv, incl. the
+    output_padding used by the DCCRN/CRN decoders."""
+    import jax
+    import jax.numpy as jnp
+    from se_tpu.ops.conv import conv_transpose2d, conv_transpose2d_freq_s2d
+
+    rng = np.random.default_rng(1)
+    for (I, O, Fin, r) in [(64, 2, 128, 8), (64, 1, 128, 16),
+                           (32, 16, 64, 4), (64, 32, 32, 2)]:
+        x = jnp.asarray(rng.standard_normal((2, I, Fin, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((I, O, 5, 2)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((O,)), jnp.float32)
+        ref = conv_transpose2d(x, w, b, stride=(2, 1), padding=(2, 0),
+                               output_padding=(1, 0))
+        got = conv_transpose2d_freq_s2d(x, w, b, r=r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4), (I, O, Fin, r)
+
+    def la(x, w):
+        return jnp.sum(conv_transpose2d(
+            x, w, None, stride=(2, 1), padding=(2, 0),
+            output_padding=(1, 0)) ** 2)
+
+    def lb(x, w):
+        return jnp.sum(conv_transpose2d_freq_s2d(x, w, None, r=4) ** 2)
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 6)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((8, 4, 5, 2)) * 0.1, jnp.float32)
+    ga, gb = jax.grad(la, (0, 1))(x, w), jax.grad(lb, (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), atol=1e-3)
+
+
+def test_auto_s2d_r_selection():
+    from se_tpu.ops.conv import auto_s2d_r
+
+    assert auto_s2d_r(2, 5, 2, 256) == 8     # DCCRN stage 0 (block form)
+    assert auto_s2d_r(1, 5, 2, 256) == 16    # CRN stage 0
+    assert auto_s2d_r(32, 5, 2, 128) == 0    # deep enough directly
+    assert auto_s2d_r(128, 5, 2, 16) == 0
+    assert auto_s2d_r(2, 5, 2, 250) == 0     # indivisible F
+
+
+def test_lstm_stack_mixed_precision_close_to_f32():
+    """bf16-stream/f32-carry cell tracks the f32 recurrence closely and
+    keeps an f32 final state."""
+    import jax
+    import jax.numpy as jnp
+    from se_tpu.ops import rnn as rnn_ops
+
+    rng = np.random.default_rng(2)
+    T, B, In, H = 80, 3, 32, 16
+    x = jnp.asarray(rng.standard_normal((T, B, In)) * 0.5, jnp.float32)
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    p = rnn_ops.LstmParams(*[
+        jnp.stack([a, b]) for a, b in zip(
+            rnn_ops.init_lstm_params(ks[0], In, H),
+            rnn_ops.init_lstm_params(ks[1], In, H),
+        )
+    ])
+    y32 = rnn_ops.lstm_stack(p, x)
+    y16, (h, c) = rnn_ops.lstm_stack(p, x, mixed_precision=True,
+                                     return_state=True)
+    assert y16.dtype == jnp.bfloat16
+    assert h.dtype == c.dtype == jnp.float32
+    err = float(jnp.max(jnp.abs(y32 - y16.astype(jnp.float32))))
+    assert err < 0.05, err

@@ -306,11 +306,27 @@ def run_section_bench(B=112, **cfg_kw):
     step = make_train_step(cfg, model)
     key = jax.random.PRNGKey(0)
 
+    def _grad_of(apply_fn):
+        def loss(v, x):
+            out = apply_fn(v, x)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return jax.jit(jax.grad(loss))
+
+    enc_g = _grad_of(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: _sections(m, xx)[0]))
+    lstm_g = _grad_of(lambda v, x: model.apply(
+        v, x, method=lambda m, xx: _sections(m, xx)[1]))
+    fwd_g = _grad_of(lambda v, x: model.apply(v, x, train=False)[-1])
+
     names = []
     for name, fn, args in (
         ("stft+encoder fwd", enc_fn, (variables, noisy)),
         ("+complex LSTM fwd", lstm_fn, (variables, noisy)),
         ("full forward", fwd_fn, (variables, noisy)),
+        ("enc fwd+bwd", enc_g, (variables, noisy)),
+        ("enc+lstm fwd+bwd", lstm_g, (variables, noisy)),
+        ("full fwd+bwd", fwd_g, (variables, noisy)),
     ):
         t = timeit(fn, *args, iters=10)
         names.append((name, t))
