@@ -34,8 +34,10 @@ BASELINES = {
     "fullsubnet": {"train": 0.153, "enhance": 0.541},
 }
 
-DCCRN_TRAIN_BATCH = 112
-DCCRN_ENHANCE_BATCH = 96
+DCCRN_TRAIN_BATCH_F32 = 112      # f32 single-chip ceiling (docs/PERF.md)
+DCCRN_TRAIN_BATCH_BF16 = 128     # bf16 fits (and is fastest at) B=128
+DCCRN_ENHANCE_BATCH_F32 = 96
+DCCRN_ENHANCE_BATCH_BF16 = 128
 CRN_TRAIN_BATCH = 112
 CRN_ENHANCE_BATCH = 96
 FSN_TRAIN_BATCH = 48
@@ -133,23 +135,28 @@ def main():
 
     # -- DCCRN flagship (complex LSTM, E-mask, SDR) ------------------------
     dccrn = Config()
+    dccrn16 = dccrn.replace(compute_dtype="bfloat16")
+    # historical series names are f32 since round 1; the bf16 production
+    # path reports under its own *_bf16_* names so the precision of a
+    # series never silently changes (BASELINE.md)
     _emit(
         "dccrn_enhance_utterances_per_sec_per_chip",
-        _bench_enhance(dccrn, DCCRN_ENHANCE_BATCH, rng),
+        _bench_enhance(dccrn, DCCRN_ENHANCE_BATCH_F32, rng),
         BASELINES["dccrn"]["enhance"],
     )
-    # historical series name: f32 since round 1 (the bf16 production path
-    # reports under its own *_bf16_* name so the precision of this series
-    # never silently changes)
+    _emit(
+        "dccrn_enhance_bf16_utterances_per_sec_per_chip",
+        _bench_enhance(dccrn16, DCCRN_ENHANCE_BATCH_BF16, rng),
+        BASELINES["dccrn"]["enhance"],
+    )
     _emit(
         "dccrn_train_utterances_per_sec_per_chip",
-        _bench_train(dccrn, DCCRN_TRAIN_BATCH, key, rng),
+        _bench_train(dccrn, DCCRN_TRAIN_BATCH_F32, key, rng),
         BASELINES["dccrn"]["train"],
     )
-    dccrn16 = dccrn.replace(compute_dtype="bfloat16")
     _emit(
         "dccrn_train_bf16_utterances_per_sec_per_chip",
-        _bench_train(dccrn16, DCCRN_TRAIN_BATCH, key, rng),
+        _bench_train(dccrn16, DCCRN_TRAIN_BATCH_BF16, key, rng),
         BASELINES["dccrn"]["train"],
     )
 

@@ -192,6 +192,19 @@ class Config:
     # convs (se_tpu/ops/pallas_conv.py). Off by default.
     use_pallas_conv: bool = False
 
+    # Run LSTM recurrences as the fused VMEM-resident Pallas cell
+    # (se_tpu/ops/pallas_lstm.py): the whole scan is one kernel with the
+    # carry and recurrent weights resident in VMEM, and only (ys, cs) is
+    # stashed for the backward — measured 4.6x faster than the lax.scan
+    # cell on v5e (docs/PERF.md round-3).  Also the memory-lean path that
+    # lets FullSubNet's B*257-row sub-band model train at real batch
+    # sizes (the hoisted x_proj OOMs otherwise).
+    # "auto" (default): on for single-chip TPU execution; the lax.scan
+    # cell elsewhere (CPU runs the kernel only in slow interpret mode,
+    # and multi-chip SPMD partitioning of pallas_call needs shard_map).
+    # "on"/"off" (or True/False) force it.
+    use_pallas_lstm: str = "auto"
+
     # Complex-conv realisation: "block" = one conv with the real 2x2 block
     # kernel [[wr, -wi], [wi, wr]] (full 2ci->2co channel counts, the
     # MXU-friendly shape); "dbatch" = round-1 doubled-batch form.

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..config import Config
+from .dccrn import _dec_s2d
 from ..dsp import make_conv_stft_kernels, conv_stft_mag_phase, conv_istft
 from .layers import (
     RealConv2d,
@@ -54,7 +55,7 @@ class CRN(nn.Module):
                     kernel_size=(self.kernel_size, 2),
                     stride=(2, 1),
                     padding=(2, 1),
-                    s2d=0 if c.conv_s2d == "off" else -1,
+                    s2d=-1 if c.conv_s2d == "auto" else 0,
                     name=f"encoder_{idx}_conv",
                 )
             )
@@ -72,6 +73,7 @@ class CRN(nn.Module):
             input_size=c.crn.rnn_input_size,
             hidden_size=c.crn.rnn_units // 2,
             num_layers=1,
+            use_pallas=c.use_pallas_lstm,
             name="enhance",
         )
         self.tranform = TorchLinear(c.crn.rnn_input_size, name="tranform")
@@ -87,7 +89,7 @@ class CRN(nn.Module):
                     stride=(2, 1),
                     padding=(2, 0),
                     output_padding=(1, 0),
-                    s2d=0 if c.conv_s2d == "off" else -1,
+                    s2d=_dec_s2d(c.conv_s2d),
                     name=f"decoder_{n_stage - idx}_conv",
                 )
             )

@@ -31,6 +31,18 @@ from .layers import (
 )
 
 
+def _dec_s2d(mode: str) -> int:
+    """Decoder transpose-conv s2d selection: 'decN' forces the adjoint
+    block-conv form (no lhs_dilation) with fold r=N on EVERY decoder
+    stage; 'auto' folds only the MXU-shallow (small output channel)
+    stages; 'off' keeps the lhs-dilated XLA transpose conv."""
+    if mode == "off":
+        return 0
+    if mode.startswith("dec"):
+        return int(mode[3:])
+    return -1
+
+
 class DCCRN(nn.Module):
     cfg: Config
 
@@ -60,7 +72,7 @@ class DCCRN(nn.Module):
                     padding=(2, 1),
                     use_pallas=c.use_pallas_conv,
                     variant=c.conv_variant,
-                    s2d=0 if c.conv_s2d == "off" else -1,
+                    s2d=-1 if c.conv_s2d == "auto" else 0,
                     name=f"encoder_{idx}_conv",
                 )
             )
@@ -103,6 +115,7 @@ class DCCRN(nn.Module):
                             else None
                         ),
                         mixed_precision=c.compute_dtype == "bfloat16",
+                        use_pallas=c.use_pallas_lstm,
                         name=f"enhance_{idx}",
                     )
                 )
@@ -112,6 +125,7 @@ class DCCRN(nn.Module):
                 input_size=hidden_dim * self.kernel_num[-1],
                 hidden_size=rnn_units,
                 num_layers=2,
+                use_pallas=c.use_pallas_lstm,
                 name="enhance",
             )
             self.tranform = TorchLinear(
@@ -130,7 +144,7 @@ class DCCRN(nn.Module):
                     padding=(2, 0),
                     output_padding=(1, 0),
                     variant=c.conv_variant,
-                    s2d=0 if c.conv_s2d == "off" else -1,
+                    s2d=_dec_s2d(c.conv_s2d),
                     name=f"decoder_{n_stage - idx}_conv",
                 )
             )

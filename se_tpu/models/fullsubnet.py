@@ -33,6 +33,7 @@ class FullSubNet(nn.Module):
             num_layers=2,
             sequence_model=c.sequence_model,
             output_activate_function=fsn.fb_output_activate_function,
+            use_pallas=c.use_pallas_lstm,
             name="fb_model",
         )
         self.sb_model = SequenceModel(
@@ -43,6 +44,7 @@ class FullSubNet(nn.Module):
             num_layers=2,
             sequence_model=c.sequence_model,
             output_activate_function=fsn.sb_output_activate_function,
+            use_pallas=c.use_pallas_lstm,
             name="sb_model",
         )
         self.sb_num_neighbors = fsn.sb_num_neighbors

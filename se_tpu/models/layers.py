@@ -429,6 +429,7 @@ class TorchLSTM(nn.Module):
     hidden_size: int
     num_layers: int = 1
     dropout: float = 0.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, state=None,
@@ -461,7 +462,8 @@ class TorchLSTM(nn.Module):
             h0 = c0 = None
             if state is not None:
                 h0, c0 = state[layer]
-            x, final = rnn_ops.lstm(params, x, h0, c0)
+            x, final = rnn_ops.lstm(params, x, h0, c0,
+                                    use_pallas=self.use_pallas)
             finals.append(final)
             if train and self.dropout > 0 and layer < self.num_layers - 1:
                 x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
@@ -477,6 +479,7 @@ class TorchGRU(nn.Module):
     hidden_size: int
     num_layers: int = 1
     dropout: float = 0.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, state=None,
@@ -528,6 +531,7 @@ class NavieComplexLSTM(nn.Module):
     hidden_size: int
     projection_dim: Optional[int] = None
     mixed_precision: bool = False  # bf16 streams around an f32 (h, c) core
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, inputs, state=None, return_state: bool = False):
@@ -569,6 +573,7 @@ class NavieComplexLSTM(nn.Module):
         ys, final = rnn_ops.lstm_stack(
             stacked, z, state=state, return_state=True,
             mixed_precision=self.mixed_precision,
+            use_pallas=self.use_pallas,
         )  # [2, T, 2B, units]
         r2r, i2r = ys[0, :, :B], ys[0, :, B:]
         r2i, i2i = ys[1, :, :B], ys[1, :, B:]
@@ -597,6 +602,7 @@ class SequenceModel(nn.Module):
     sequence_model: str = "GRU"
     output_activate_function: Optional[str] = "Tanh"
     dropout: float = 0.8
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, state=None,
@@ -609,6 +615,7 @@ class SequenceModel(nn.Module):
                 self.hidden_size,
                 self.num_layers,
                 self.dropout,
+                use_pallas=self.use_pallas,
                 name="sequence_model",
             )(x, train=train, state=state, return_state=return_state)
         elif self.sequence_model == "GRU":

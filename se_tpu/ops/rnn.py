@@ -105,16 +105,80 @@ def lstm(
     h0: Optional[jnp.ndarray] = None,
     c0: Optional[jnp.ndarray] = None,
     unroll: int = 4,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Single-layer unidirectional LSTM. x: [T, B, In] -> [T, B, H]."""
-    params = LstmParams(*[p.astype(x.dtype) for p in params])
+    """Single-layer unidirectional LSTM. x: [T, B, In] -> [T, B, H].
+
+    ``use_pallas`` (f32 path) runs the fused in-projection kernel
+    (se_tpu/ops/pallas_lstm.py): the input GEMM happens per step in VMEM
+    and only (ys, cs) is stashed for the backward — O(T*B*H) residual
+    memory instead of the hoisted x_proj's O(T*B*4H), which is what OOMs
+    FullSubNet's B*257-row sub-band batch (docs/PERF.md round-3)."""
     H = params.w_hh.shape[1]
+    if resolve_pallas(use_pallas) and x.dtype == jnp.float32:
+        from . import pallas_lstm
+
+        T, B, In = x.shape
+        h0_ = jnp.zeros((1, B, H), jnp.float32) if h0 is None \
+            else h0[None].astype(jnp.float32)
+        c0_ = jnp.zeros((1, B, H), jnp.float32) if c0 is None \
+            else c0[None].astype(jnp.float32)
+        ys, (hT, cT) = pallas_lstm.fused_lstm_scan_inproj(
+            x[:, None],
+            params.w_ih.T[None].astype(jnp.float32),
+            (params.b_ih + params.b_hh)[None].astype(jnp.float32),
+            params.w_hh.swapaxes(-1, -2)[None].astype(jnp.float32),
+            h0_, c0_,
+        )
+        return ys[:, 0], (hT[0], cT[0])
+
+    params = LstmParams(*[p.astype(x.dtype) for p in params])
     x_proj = (
         jnp.einsum("tbi,gi->tbg", x, params.w_ih,
                    precision=INPUT_PROJ_PRECISION)
         + params.b_ih + params.b_hh
     )
     return _lstm_scan(x_proj, params.w_hh, H, h0, c0, unroll)
+
+
+def resolve_pallas(flag) -> bool:
+    """Resolve a use_pallas_lstm setting: True/"on" and False/"off" are
+    forced; "auto" enables the fused cell only for single-chip TPU
+    execution (see Config.use_pallas_lstm)."""
+    if flag in (True, "on"):
+        return True
+    if flag in (False, "off", None):
+        return False
+    return (
+        jax.default_backend() == "tpu" and jax.device_count() == 1
+    )
+
+
+def _scan_or_pallas(x_proj, w_hh, H, h0, c0, unroll, use_pallas,
+                    carry_dtype=None, out_dtype=None):
+    """Dispatch the recurrence: the Pallas fused cell (f32 carry resident
+    in VMEM, one kernel for the whole scan — se_tpu/ops/pallas_lstm.py)
+    when requested and applicable, else the lax.scan cell."""
+    if resolve_pallas(use_pallas) and x_proj.ndim == 4 and (
+        (carry_dtype or x_proj.dtype) == jnp.float32
+        or carry_dtype == jnp.float32
+    ):
+        from . import pallas_lstm
+
+        L = x_proj.shape[1]
+        Bb = x_proj.shape[2]
+        h0_ = jnp.zeros((L, Bb, H), jnp.float32) if h0 is None \
+            else h0.astype(jnp.float32)
+        c0_ = jnp.zeros((L, Bb, H), jnp.float32) if c0 is None \
+            else c0.astype(jnp.float32)
+        w_hh_t = w_hh.swapaxes(-1, -2).astype(jnp.float32)
+        odt = out_dtype or x_proj.dtype
+        ys, final = pallas_lstm.fused_lstm_scan(
+            x_proj.astype(odt), w_hh_t, h0_, c0_
+        )
+        return ys, final
+    return _lstm_scan(x_proj, w_hh, H, h0, c0, unroll,
+                      carry_dtype=carry_dtype, out_dtype=out_dtype)
 
 
 def lstm_stack(
@@ -124,6 +188,7 @@ def lstm_stack(
     return_state: bool = False,
     unroll: int = 4,
     mixed_precision: bool = False,
+    use_pallas: bool = False,
 ):
     """L independent LSTMs in ONE scan. Returns [L, T, B, H]
     (and the final (h, c) when ``return_state``).
@@ -131,7 +196,8 @@ def lstm_stack(
     ``mixed_precision=True`` streams x_proj and the emitted hidden
     sequence in bf16 while keeping the (h, c) carry, the recurrent
     matmul accumulation, and the gate arithmetic in f32 (see _lstm_scan).
-    Output dtype is then bf16.
+    Output dtype is then bf16.  ``use_pallas`` runs the recurrence as the
+    fused VMEM-resident Pallas kernel (f32-carry paths only).
     """
     if mixed_precision:
         x16 = x.astype(jnp.bfloat16)
@@ -146,8 +212,9 @@ def lstm_stack(
         if state is not None:
             h0, c0 = state
         H = params.w_hh.shape[1] // 4
-        ys, final = _lstm_scan(
+        ys, final = _scan_or_pallas(
             x_proj, params.w_hh.astype(jnp.float32), H, h0, c0, unroll,
+            use_pallas,
             carry_dtype=jnp.float32, out_dtype=jnp.bfloat16,
         )
         ys = ys.swapaxes(0, 1)  # [L, T, B, H]
@@ -169,7 +236,8 @@ def lstm_stack(
     h0 = c0 = None
     if state is not None:
         h0, c0 = state
-    ys, final = _lstm_scan(x_proj, params.w_hh, H, h0, c0, unroll)
+    ys, final = _scan_or_pallas(x_proj, params.w_hh, H, h0, c0, unroll,
+                                use_pallas)
     ys = ys.swapaxes(0, 1)  # [L, T, B, H]
     if return_state:
         return ys, final

@@ -369,14 +369,17 @@ def run_lstm_bench(B=112):
     p0 = make_params(jax.random.PRNGKey(0), in_dim)
     p1 = make_params(jax.random.PRNGKey(1), units)
 
-    for mode in ("f32", "mixed", "bf16_all"):
-        for unroll in (4, 8, 16, 32):
+    for mode in ("f32", "mixed", "bf16_all", "pallas_f32", "pallas_mixed"):
+        unrolls = (4,) if mode.startswith("pallas") else (4, 8, 16, 32)
+        for unroll in unrolls:
             def fwd(x, p0=p0, p1=p1, unroll=unroll, mode=mode):
-                mixed = mode == "mixed"
+                mixed = "mixed" in mode
+                pallas = mode.startswith("pallas")
                 if mode == "bf16_all":
                     x = x.astype(jnp.bfloat16)
                 ys = rnn_ops.lstm_stack(
-                    p0, x, unroll=unroll, mixed_precision=mixed
+                    p0, x, unroll=unroll, mixed_precision=mixed,
+                    use_pallas=pallas,
                 )
                 # complex recombine between layers (r2r - i2i etc.)
                 Bh = x.shape[1] // 2
@@ -384,7 +387,8 @@ def run_lstm_bench(B=112):
                 i = ys[0, :, Bh:] + ys[1, :, :Bh]
                 z = jnp.concatenate([r, i], axis=1)
                 ys2 = rnn_ops.lstm_stack(
-                    p1, z, unroll=unroll, mixed_precision=mixed
+                    p1, z, unroll=unroll, mixed_precision=mixed,
+                    use_pallas=pallas,
                 )
                 return jnp.sum(ys2.astype(jnp.float32) ** 2)
 
