@@ -142,10 +142,14 @@ def _bwd_kernel(xp_ref, ysp_ref, cs_ref, csp_ref, dys_ref,
     dc0_ref[:] = dc * f
 
 
-def _fwd_call(x_proj, w_hh_t, h0, c0):
+def _fwd_call(x_proj, w_hh_t, h0, c0, need_cs=True):
     T, L, Bb, fourH = x_proj.shape
     H = fourH // 4
     grid = (T,)
+    # inference never reads the cell-state stash: collapse it to one
+    # revisited block so no [T, ...] buffer is allocated
+    Tc = T if need_cs else 1
+    cs_map = (lambda t: (t, 0, 0, 0)) if need_cs else (lambda t: (0, 0, 0, 0))
     ys, cs, hT, cT = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
@@ -162,8 +166,7 @@ def _fwd_call(x_proj, w_hh_t, h0, c0):
         out_specs=[
             pl.BlockSpec((1, L, Bb, H), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, Bb, H), lambda t: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, Bb, H), cs_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, Bb, H), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, Bb, H), lambda t: (0, 0, 0),
@@ -171,7 +174,7 @@ def _fwd_call(x_proj, w_hh_t, h0, c0):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, L, Bb, H), x_proj.dtype),
-            jax.ShapeDtypeStruct((T, L, Bb, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, L, Bb, H), jnp.float32),
             jax.ShapeDtypeStruct((L, Bb, H), jnp.float32),
             jax.ShapeDtypeStruct((L, Bb, H), jnp.float32),
         ],
@@ -257,6 +260,15 @@ fused_lstm_scan.defvjp(_fused_fwd, _fused_bwd)
 # dimension (independent sequences), with the T loop innermost so the
 # (h, c) carry stays VMEM-resident per tile.
 # ---------------------------------------------------------------------------
+
+
+def _inproj_target(H: int) -> int:
+    """Rows per tile for the in-projection kernels: the backward holds
+    roughly 14 H-sized f32 vectors per row in VMEM (double-buffered
+    streams, gate temporaries, carries), so the tile scales down with H
+    to stay under the ~16 MB VMEM budget (measured: 464 rows at H=384
+    needs 22 MB)."""
+    return max(64, min(512, (4 * 1024 * 1024) // (H * 56)))
 
 
 def plan_batch(bb: int, target: int = 512):
@@ -409,11 +421,11 @@ def _bwd_inproj_kernel(x_ref, ysp_ref, cs_ref, csp_ref, dys_ref,
     dc0_ref[:] = dc * f
 
 
-def _inproj_call(x, w_ih_t, bias, w_hh_t, h0, c0):
+def _inproj_call(x, w_ih_t, bias, w_hh_t, h0, c0, need_cs=True):
     T, L, Bb, In = x.shape
     H = w_hh_t.shape[1]
     fourH = 4 * H
-    bb, padded = plan_batch(Bb)
+    bb, padded = plan_batch(Bb, _inproj_target(H))
     if padded != Bb:
         pad = ((0, 0), (0, 0), (0, padded - Bb), (0, 0))
         x = jnp.pad(x, pad)
@@ -427,6 +439,8 @@ def _inproj_call(x, w_ih_t, bias, w_hh_t, h0, c0):
     cmap3 = lambda b, t: (0, b, 0)
     wmap = lambda b, t: (0, 0, 0)
     bmap = lambda b, t: (0, 0)
+    Tc = T if need_cs else 1
+    cs_map = hmap if need_cs else (lambda b, t: (0, 0, b, 0))
     ys, cs, hT, cT = pl.pallas_call(
         _fwd_inproj_kernel,
         grid=grid,
@@ -440,13 +454,13 @@ def _inproj_call(x, w_ih_t, bias, w_hh_t, h0, c0):
         ],
         out_specs=[
             pl.BlockSpec((1, L, bb, H), hmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, bb, H), hmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, bb, H), cs_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, bb, H), cmap3, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, bb, H), cmap3, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, L, Bb, H), x.dtype),
-            jax.ShapeDtypeStruct((T, L, Bb, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, L, Bb, H), jnp.float32),
             jax.ShapeDtypeStruct((L, Bb, H), jnp.float32),
             jax.ShapeDtypeStruct((L, Bb, H), jnp.float32),
         ],
@@ -464,7 +478,8 @@ def fused_lstm_scan_inproj(x, w_ih_t, bias, w_hh_t, h0, c0):
     nothing but (ys, cs) is stashed for the backward.  Batches beyond one
     VMEM tile are zero-padded to 8-aligned tiles internally."""
     Bb = x.shape[2]
-    ys, cs, hT, cT = _inproj_call(x, w_ih_t, bias, w_hh_t, h0, c0)
+    ys, cs, hT, cT = _inproj_call(x, w_ih_t, bias, w_hh_t, h0, c0,
+                                  need_cs=False)
     return ys[:, :, :Bb], (hT[:, :Bb], cT[:, :Bb])
 
 
@@ -481,7 +496,7 @@ def _inproj_bwd(res, grads):
     T, L, Bb, In = x.shape
     H = w_hh_t.shape[1]
     fourH = 4 * H
-    bb, padded = plan_batch(Bb)
+    bb, padded = plan_batch(Bb, _inproj_target(H))
     if padded != Bb:
         pb = padded - Bb
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pb), (0, 0)))
