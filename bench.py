@@ -39,9 +39,11 @@ DCCRN_TRAIN_BATCH_BF16 = 128     # bf16 fits (and is fastest at) B=128
 DCCRN_ENHANCE_BATCH_F32 = 96
 DCCRN_ENHANCE_BATCH_BF16 = 128
 CRN_TRAIN_BATCH = 112
-CRN_ENHANCE_BATCH = 96
-FSN_TRAIN_BATCH = 48
-FSN_ENHANCE_BATCH = 96
+CRN_ENHANCE_BATCH = 224
+# FullSubNet's sub-band stage batches B*257 sequences; B=16 is the
+# single-chip sweet spot (f32, fused Pallas LSTM path — docs/PERF.md)
+FSN_TRAIN_BATCH = 16
+FSN_ENHANCE_BATCH = 16
 
 N_ITERS = 20
 

@@ -123,6 +123,11 @@ def lstm(
             else h0[None].astype(jnp.float32)
         c0_ = jnp.zeros((1, B, H), jnp.float32) if c0 is None \
             else c0[None].astype(jnp.float32)
+        # pin the stream in a materialised default layout: without the
+        # barrier XLA remats the producer slices against the kernel's
+        # layout constraints and pads size-1 axes 128x (gigabytes of
+        # temp on FullSubNet's B*257-row batches)
+        x = jax.lax.optimization_barrier(x)
         ys, (hT, cT) = pallas_lstm.fused_lstm_scan_inproj(
             x[:, None],
             params.w_ih.T[None].astype(jnp.float32),
