@@ -2,13 +2,17 @@
 
 reference: tools_for_model.py:806-837 — reflect-pad the frequency axis and
 extract, for every frequency bin, its (2n + 1)-wide neighbourhood across
-all frames.  Instead of the reference's ``F.unfold`` im2col, this is
-2n + 1 static slices of the padded array stacked on a new axis — pure
-layout work that XLA fuses with the consumer.
+all frames.  Instead of the reference's ``F.unfold`` im2col, this is ONE
+gather over a precomputed [F, 2n+1] index matrix.  (A stack of 2n + 1
+slices is mathematically identical but materialises every slice as a
+separate [.., 1, T] temporary under downstream layout constraints —
+XLA pads the unit axis to the 128-lane tile, 42 GB of temp at
+FullSubNet B=64 on v5e; the single gather keeps one well-formed array.)
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -22,10 +26,9 @@ def unfold(x: jnp.ndarray, num_neighbor: int) -> jnp.ndarray:
     pad = num_neighbor
     xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
     size = 2 * num_neighbor + 1
-    # windows[j][b, c, f, t] = xp[b, c, f + j, t]
-    windows = jnp.stack(
-        [xp[:, :, j : j + F, :] for j in range(size)], axis=3
-    )  # [B, C, F, 2n+1, T]
+    # idx[f, j] = f + j in padded coords: windows[b, c, f, j, t]
+    idx = np.arange(F)[:, None] + np.arange(size)[None, :]
+    windows = jnp.take(xp, jnp.asarray(idx), axis=2)  # [B, C, F, 2n+1, T]
     return windows.transpose(0, 2, 1, 3, 4)  # [B, F, C, 2n+1, T]
 
 
