@@ -40,10 +40,11 @@ DCCRN_ENHANCE_BATCH_F32 = 96
 DCCRN_ENHANCE_BATCH_BF16 = 128
 CRN_TRAIN_BATCH = 112
 CRN_ENHANCE_BATCH = 224
-# FullSubNet's sub-band stage batches B*257 sequences; B=16 is the
-# single-chip sweet spot (f32, fused Pallas LSTM path — docs/PERF.md)
-FSN_TRAIN_BATCH = 16
-FSN_ENHANCE_BATCH = 16
+# FullSubNet's sub-band stage batches B*257 sequences; measured
+# single-chip sweet spots (f32, fused Pallas LSTM + gather unfold —
+# docs/PERF.md round-3)
+FSN_TRAIN_BATCH = 32
+FSN_ENHANCE_BATCH = 96
 
 N_ITERS = 20
 
