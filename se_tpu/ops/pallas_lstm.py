@@ -286,15 +286,6 @@ def plan_batch(bb: int, target: int = 512):
     return block, block * n_tiles
 
 
-def pick_block_b(bb: int, cap: int = 1024) -> int:
-    """Largest divisor of ``bb`` not exceeding ``cap`` (grid batch tile)."""
-    best = 1
-    for d in range(1, cap + 1):
-        if bb % d == 0:
-            best = d
-    return best
-
-
 def _fwd_inproj_kernel(x_ref, wih_ref, b_ref, whh_ref, h0_ref, c0_ref,
                        ys_ref, cs_ref, hT_ref, cT_ref):
     t = pl.program_id(1)

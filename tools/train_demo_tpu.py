@@ -1,11 +1,12 @@
-"""Full-size DCCRN training demo on the TPU chip.
+"""Full-size model training demo on the TPU chip.
 
-Trains the flagship model on synthetic noisy speech for a few hundred
-steps and reports PESQ/STOI of noisy vs enhanced on held-out data —
-an end-to-end smoke of the complete stack (train step, metrics, native
-PESQ) at production size.
+Trains a model on synthetic noisy speech for a few hundred steps and
+reports PESQ/STOI of noisy vs enhanced on held-out data — an end-to-end
+smoke of the complete stack (train step, metrics, native PESQ) at
+production size.
 
-Run: python tools/train_demo_tpu.py [n_steps] [compute_dtype]
+Run: python tools/train_demo_tpu.py [n_steps] [compute_dtype] [model]
+model: DCCRN (default) | CRN | FullSubNet
 """
 
 import sys
@@ -17,6 +18,7 @@ import numpy as np
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     compute_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    model_name = sys.argv[3] if len(sys.argv) > 3 else "DCCRN"
 
     import jax
     import jax.numpy as jnp
@@ -32,7 +34,7 @@ def main():
     from se_tpu.eval.stoi import stoi
     from tools.pesq_oracle_battery import speechlike
 
-    B, L = 40, 48000
+    B, L = (16, 48000) if model_name == "FullSubNet" else (40, 48000)
 
     _cache = {}
 
@@ -50,7 +52,15 @@ def main():
             )
         return _cache[seed]
 
-    cfg = Config(loss="SI-SNR", compute_dtype=compute_dtype)
+    if model_name == "FullSubNet":
+        # the reference trains FullSubNet on the compressed-cIRM MSE
+        cfg = Config(model="FullSubNet", loss="MSE",
+                     compute_dtype=compute_dtype)
+    elif model_name == "CRN":
+        cfg = Config(model="CRN", lstm="real", loss="SI-SNR",
+                     compute_dtype=compute_dtype)
+    else:
+        cfg = Config(loss="SI-SNR", compute_dtype=compute_dtype)
     model, state = create_train_state(cfg)
     step = make_train_step(cfg, model)
 
