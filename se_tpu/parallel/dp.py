@@ -12,28 +12,23 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..train.steps import _loss_and_outputs, trainer_variant, fullsubnet_enhance
+from ..train.steps import (
+    _loss_and_outputs,
+    trainer_variant,
+    fullsubnet_enhance,
+    train_step_body,
+)
 
 
 def make_parallel_train_step(cfg: Config, model, mesh: Mesh, axis: str = "data"):
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(axis))
 
-    def train_step(state, inputs, targets, dropout_rng):
-        def loss_fn(params):
-            return _loss_and_outputs(
-                cfg, model, params, state.batch_stats, inputs, targets,
-                train=True, dropout_rng=dropout_rng,
-            )
-
-        (loss, (aux, _, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        state = state.apply_gradients(grads, new_batch_stats=new_bs)
-        return state, {"loss": loss, **aux}
-
+    # the shared step body (incl. grad_accum micro-batching; the scan's
+    # micro-batch reshape composes with the batch sharding as long as
+    # each micro-batch still divides the mesh)
     return jax.jit(
-        train_step,
+        train_step_body(cfg, model),
         in_shardings=(repl, bsh, bsh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),

@@ -155,6 +155,12 @@ def make_train_step(cfg: Config, model) -> Callable:
     one micro-batch's activations are live at a time, so the EFFECTIVE
     batch can exceed the single-chip activation ceiling (docs/PERF.md).
     """
+    return jax.jit(train_step_body(cfg, model), donate_argnums=(0,))
+
+
+def train_step_body(cfg: Config, model) -> Callable:
+    """The un-jitted train step (shared by the single-device jit and the
+    mesh pjit in se_tpu/parallel/dp.py — both paths get grad_accum)."""
     accum = cfg.train.grad_accum
     variant = trainer_variant(cfg)
 
@@ -215,7 +221,7 @@ def make_train_step(cfg: Config, model) -> Callable:
                    **{k: v / accum for k, v in aux.items()}}
         return state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
 
 
 def make_eval_step(cfg: Config, model) -> Callable:
