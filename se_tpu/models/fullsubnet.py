@@ -59,6 +59,13 @@ class FullSubNet(nn.Module):
         """
         if noisy_mag.ndim == 3:
             noisy_mag = noisy_mag[:, None]
+        # bf16 compute path: activations in bf16, norm statistics and the
+        # RNN carries in f32 (ops/norms.py, ops/rnn.py); output cast back
+        compute_dtype = (
+            jnp.bfloat16
+            if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        noisy_mag = noisy_mag.astype(compute_dtype)
         noisy_mag = jnp.pad(
             noisy_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead))
         )
@@ -96,4 +103,5 @@ class FullSubNet(nn.Module):
         )
 
         output = sb_mask[:, :, :, self.look_ahead :]
-        return jnp.transpose(output, (0, 2, 3, 1))  # [B, F, T, 2]
+        out = jnp.transpose(output, (0, 2, 3, 1))  # [B, F, T, 2]
+        return out.astype(jnp.float32)

@@ -148,43 +148,50 @@ def complex_batch_norm(
 # ---------------------------------------------------------------------------
 
 def offline_laplace_norm(x: jnp.ndarray) -> jnp.ndarray:
-    """Utterance-level mean norm, [B, C, F, T] (the config default)."""
-    mu = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-    return x / (mu + 1e-5)
+    """Utterance-level mean norm, [B, C, F, T] (the config default).
+
+    Statistics accumulate in f32 regardless of x.dtype (bf16 compute
+    path); the elementwise division runs in x.dtype."""
+    mu = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+    return x / (mu + 1e-5).astype(x.dtype)
 
 
 def cumulative_laplace_norm(x: jnp.ndarray) -> jnp.ndarray:
-    """Streaming mean norm via cumsum, [B, C, F, T]."""
+    """Streaming mean norm via cumsum, [B, C, F, T] (f32 statistics)."""
     B, C, F, T = x.shape
     xr = x.reshape(B * C, F, T)
-    step_sum = jnp.sum(xr, axis=1)  # [BC, T]
+    step_sum = jnp.sum(xr, axis=1, dtype=jnp.float32)  # [BC, T]
     cum_sum = jnp.cumsum(step_sum, axis=-1)
-    entry_count = jnp.arange(F, F * T + 1, F, dtype=x.dtype)[None, :]
+    entry_count = jnp.arange(F, F * T + 1, F, dtype=jnp.float32)[None, :]
     cum_mean = (cum_sum / entry_count)[:, None, :]  # [BC, 1, T]
-    return (xr / (cum_mean + EPSILON)).reshape(B, C, F, T)
+    return (xr / (cum_mean + EPSILON).astype(x.dtype)).reshape(B, C, F, T)
 
 
 def offline_gaussian_norm(x: jnp.ndarray) -> jnp.ndarray:
-    """Utterance zero-norm; std is unbiased like torch.std."""
-    mu = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    """Utterance zero-norm; std is unbiased like torch.std (f32 stats)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
     n = x.shape[1] * x.shape[2] * x.shape[3]
-    var = jnp.var(x, axis=(1, 2, 3), keepdims=True) * n / max(n - 1, 1)
-    return (x - mu) / (jnp.sqrt(var) + 1e-5)
+    var = jnp.var(xf, axis=(1, 2, 3), keepdims=True) * n / max(n - 1, 1)
+    return ((x - mu.astype(x.dtype))
+            / (jnp.sqrt(var) + 1e-5).astype(x.dtype))
 
 
 def cumulative_layer_norm(x: jnp.ndarray) -> jnp.ndarray:
-    """Online zero-norm via cumsums of x and x^2, [B, C, F, T]."""
+    """Online zero-norm via cumsums of x and x^2, [B, C, F, T]
+    (f32 statistics)."""
     B, C, F, T = x.shape
     xr = x.reshape(B * C, F, T)
-    step_sum = jnp.sum(xr, axis=1)
-    step_pow = jnp.sum(jnp.square(xr), axis=1)
+    step_sum = jnp.sum(xr, axis=1, dtype=jnp.float32)
+    step_pow = jnp.sum(jnp.square(xr.astype(jnp.float32)), axis=1)
     cum_sum = jnp.cumsum(step_sum, axis=-1)
     cum_pow = jnp.cumsum(step_pow, axis=-1)
-    entry_count = jnp.arange(F, F * T + 1, F, dtype=x.dtype)[None, :]
+    entry_count = jnp.arange(F, F * T + 1, F, dtype=jnp.float32)[None, :]
     cum_mean = cum_sum / entry_count
     cum_var = (cum_pow - 2 * cum_mean * cum_sum) / entry_count + cum_mean**2
     cum_std = jnp.sqrt(cum_var + EPSILON)
-    out = (xr - cum_mean[:, None, :]) / cum_std[:, None, :]
+    out = (xr - cum_mean[:, None, :].astype(x.dtype)) \
+        / cum_std[:, None, :].astype(x.dtype)
     return out.reshape(B, C, F, T)
 
 

@@ -113,9 +113,14 @@ def lstm(
     (se_tpu/ops/pallas_lstm.py): the input GEMM happens per step in VMEM
     and only (ys, cs) is stashed for the backward — O(T*B*H) residual
     memory instead of the hoisted x_proj's O(T*B*4H), which is what OOMs
-    FullSubNet's B*257-row sub-band batch (docs/PERF.md round-3)."""
+    FullSubNet's B*257-row sub-band batch (docs/PERF.md round-3).
+
+    bf16 inputs always use MIXED semantics — bf16 streams around an f32
+    (h, c) carry and f32 gates (a fully-bf16 recurrence compounds
+    roundoff; docs/PERF.md) — identically in the Pallas and scan paths.
+    """
     H = params.w_hh.shape[1]
-    if resolve_pallas(use_pallas) and x.dtype == jnp.float32:
+    if resolve_pallas(use_pallas):
         from . import pallas_lstm
 
         T, B, In = x.shape
@@ -136,6 +141,16 @@ def lstm(
             h0_, c0_,
         )
         return ys[:, 0], (hT[0], cT[0])
+
+    if x.dtype == jnp.bfloat16:
+        x_proj = (
+            jnp.einsum("tbi,gi->tbg", x, params.w_ih.astype(x.dtype))
+            + (params.b_ih + params.b_hh).astype(x.dtype)
+        )
+        return _lstm_scan(
+            x_proj, params.w_hh.astype(jnp.float32), H, h0, c0, unroll,
+            carry_dtype=jnp.float32, out_dtype=jnp.bfloat16,
+        )
 
     params = LstmParams(*[p.astype(x.dtype) for p in params])
     x_proj = (

@@ -87,3 +87,41 @@ def test_cprelu():
     np.testing.assert_allclose(
         np.asarray(y)[np.asarray(x) > 0], np.asarray(x)[np.asarray(x) > 0]
     )
+
+
+def test_fullsubnet_bf16_compute_close_to_f32():
+    """FullSubNet bf16 compute path (bf16 activations, f32 norm statistics
+    and RNN carries) tracks the f32 forward and trains."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from se_tpu.train import create_train_state, make_train_step
+    from se_tpu.train.steps import make_eval_step
+    from tests.test_models import small_cfg
+
+    rng = np.random.default_rng(11)
+    cfg32 = small_cfg(model="FullSubNet", loss="MSE")
+    cfg16 = cfg32.replace(compute_dtype="bfloat16")
+    model32, state32 = create_train_state(cfg32)
+    _, state16 = create_train_state(cfg16)
+    model16, _ = create_train_state(cfg16)
+
+    L = cfg32.stft.fs
+    noisy = jnp.asarray((rng.standard_normal((2, L)) * 0.1).astype(np.float32))
+    clean = jnp.asarray((rng.standard_normal((2, L)) * 0.1).astype(np.float32))
+
+    m32, out32 = make_eval_step(cfg32, model32)(state32, noisy, clean)
+    m16, out16 = make_eval_step(cfg16, model16)(state16, noisy, clean)
+    assert np.asarray(out16).dtype == np.float32  # output cast back
+    np.testing.assert_allclose(
+        float(m16["loss"]), float(m32["loss"]), rtol=0.05
+    )
+
+    step = make_train_step(cfg16, model16)
+    losses = []
+    st = state16
+    for i in range(5):
+        st, m = step(st, noisy, clean, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
