@@ -40,9 +40,11 @@ DCCRN_ENHANCE_BATCH_F32 = 96
 DCCRN_ENHANCE_BATCH_BF16 = 128
 CRN_TRAIN_BATCH = 112
 CRN_ENHANCE_BATCH = 224
+CRN_TRAIN_BATCH_BF16 = 128       # bf16 sweet spots (docs/PERF.md round-3)
+CRN_ENHANCE_BATCH_BF16 = 256
 # FullSubNet's sub-band stage batches B*257 sequences; measured
-# single-chip sweet spots (f32, fused Pallas LSTM + gather unfold —
-# docs/PERF.md round-3)
+# single-chip sweet spots (fused Pallas LSTM + gather unfold —
+# docs/PERF.md round-3).  bf16 fits B=48 train but B=32 stays fastest.
 FSN_TRAIN_BATCH = 32
 FSN_ENHANCE_BATCH = 96
 
@@ -112,9 +114,15 @@ def main():
 
     # -- CRN (real magnitude masking; reference models.py:329-565) ---------
     crn = Config(model="CRN", lstm="real", loss="MSE")
+    crn16 = crn.replace(compute_dtype="bfloat16")
     _emit(
         "crn_enhance_utterances_per_sec_per_chip",
         _bench_enhance(crn, CRN_ENHANCE_BATCH, rng),
+        BASELINES["crn"]["enhance"],
+    )
+    _emit(
+        "crn_enhance_bf16_utterances_per_sec_per_chip",
+        _bench_enhance(crn16, CRN_ENHANCE_BATCH_BF16, rng),
         BASELINES["crn"]["enhance"],
     )
     _emit(
@@ -122,17 +130,33 @@ def main():
         _bench_train(crn, CRN_TRAIN_BATCH, key, rng),
         BASELINES["crn"]["train"],
     )
+    _emit(
+        "crn_train_bf16_utterances_per_sec_per_chip",
+        _bench_train(crn16, CRN_TRAIN_BATCH_BF16, key, rng),
+        BASELINES["crn"]["train"],
+    )
 
     # -- FullSubNet (cIRM, MSE; reference models.py:568-682) ---------------
     fsn = Config(model="FullSubNet", loss="MSE")
+    fsn16 = fsn.replace(compute_dtype="bfloat16")
     _emit(
         "fullsubnet_enhance_utterances_per_sec_per_chip",
         _bench_enhance(fsn, FSN_ENHANCE_BATCH, rng),
         BASELINES["fullsubnet"]["enhance"],
     )
     _emit(
+        "fullsubnet_enhance_bf16_utterances_per_sec_per_chip",
+        _bench_enhance(fsn16, FSN_ENHANCE_BATCH, rng),
+        BASELINES["fullsubnet"]["enhance"],
+    )
+    _emit(
         "fullsubnet_train_utterances_per_sec_per_chip",
         _bench_train(fsn, FSN_TRAIN_BATCH, key, rng),
+        BASELINES["fullsubnet"]["train"],
+    )
+    _emit(
+        "fullsubnet_train_bf16_utterances_per_sec_per_chip",
+        _bench_train(fsn16, FSN_TRAIN_BATCH, key, rng),
         BASELINES["fullsubnet"]["train"],
     )
 

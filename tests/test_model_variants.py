@@ -75,6 +75,40 @@ def test_dccrn_bf16_compute_close_to_f32():
     assert np.mean(np.abs(w32 - w16)) < 5e-3
 
 
+def test_crn_bf16_compute_close_to_f32():
+    """CRN bf16 compute path tracks the f32 forward and trains (bench runs
+    CRN under compute_dtype=bfloat16 as the production path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from se_tpu.train import create_train_state, make_train_step
+    from se_tpu.train.steps import make_eval_step
+
+    rng = np.random.default_rng(7)
+    cfg32 = small_cfg(model="CRN", lstm="real", loss="MSE")
+    cfg16 = cfg32.replace(compute_dtype="bfloat16")
+    model32, state32 = create_train_state(cfg32)
+    model16, state16 = create_train_state(cfg16)
+
+    L = cfg32.stft.fs
+    noisy = jnp.asarray((rng.standard_normal((2, L)) * 0.1).astype(np.float32))
+    clean = jnp.asarray((rng.standard_normal((2, L)) * 0.1).astype(np.float32))
+
+    m32, out32 = make_eval_step(cfg32, model32)(state32, noisy, clean)
+    m16, out16 = make_eval_step(cfg16, model16)(state16, noisy, clean)
+    assert np.asarray(out16).dtype == np.float32
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]), rtol=0.05)
+
+    step = make_train_step(cfg16, model16)
+    losses = []
+    st = state16
+    for i in range(5):
+        st, m = step(st, noisy, clean, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_cprelu():
     from se_tpu.models.layers import CPReLU
 

@@ -1,6 +1,15 @@
+"""XLA-counted FLOPs per step/utterance for any model family.
+
+Usage:
+    python tools/mfu_probe.py [MODEL] [DTYPE] [B_TRAIN] [B_ENHANCE]
+
+Defaults: DCCRN f32 112 96.  Compile-only (cost_analysis on the lowered
+step); combine the flops/utterance figure with bench.py throughput for
+MFU:  MFU = flops/utt * utt/s / peak  (v5e: 197e12 bf16, 98.5e12 f32).
+"""
+
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
-import time, json
 import numpy as np
 import jax, jax.numpy as jnp
 
@@ -11,12 +20,25 @@ from se_tpu.config import Config
 from se_tpu.train import create_train_state, make_train_step
 from se_tpu.train.steps import make_eval_step
 
-cfg = Config()
+model_name = sys.argv[1] if len(sys.argv) > 1 else "DCCRN"
+dtype = sys.argv[2] if len(sys.argv) > 2 else "f32"
+b_train = int(sys.argv[3]) if len(sys.argv) > 3 else 112
+b_enh = int(sys.argv[4]) if len(sys.argv) > 4 else 96
+
+kw = {}
+if model_name == "CRN":
+    kw = dict(model="CRN", lstm="real", loss="MSE")
+elif model_name == "FullSubNet":
+    kw = dict(model="FullSubNet", loss="MSE")
+if dtype == "bf16":
+    kw["compute_dtype"] = "bfloat16"
+cfg = Config(**kw)
+
 model, state = create_train_state(cfg)
 L = cfg.stft.fs * 3
 rng = np.random.default_rng(0)
 
-for name, B, make in [("train", 112, None), ("enhance", 96, None)]:
+for name, B in [("train", b_train), ("enhance", b_enh)]:
     noisy = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
     clean = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
     if name == "train":
@@ -30,4 +52,5 @@ for name, B, make in [("train", 112, None), ("enhance", 96, None)]:
     ca = compiled.cost_analysis()
     if isinstance(ca, list): ca = ca[0]
     flops = ca.get("flops", float("nan"))
-    print(name, "B=", B, "flops/step=", flops, "flops/utt=", flops / B)
+    print(f"{model_name} {dtype} {name} B={B} flops/step={flops:.3e} "
+          f"flops/utt={flops / B:.3e}")
