@@ -32,6 +32,9 @@ elif model_name == "FullSubNet":
     kw = dict(model="FullSubNet", loss="MSE")
 if dtype == "bf16":
     kw["compute_dtype"] = "bfloat16"
+# Pallas kernel FLOPs are invisible to XLA cost_analysis; count on the
+# scan-cell lowering (same useful FLOPs — docs/PERF.md).
+kw["use_pallas_lstm"] = "off"
 cfg = Config(**kw)
 
 model, state = create_train_state(cfg)
