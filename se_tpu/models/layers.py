@@ -34,6 +34,13 @@ def _pick_s2d(s2d, in_channels, kernel_size, stride, f_in) -> int:
     if s2d == 0 or tuple(stride) != (2, 1):
         return 0
     if s2d > 0:
+        if f_in % (stride[0] * s2d):
+            raise ValueError(
+                f"conv_s2d fold r={s2d} does not divide this stage: input "
+                f"frequency length {f_in} is not a multiple of "
+                f"stride_f*r={stride[0] * s2d}; use conv_s2d='auto' or a "
+                f"dividing r"
+            )
         return s2d
     return conv_ops.auto_s2d_r(
         in_channels, kernel_size[0], kernel_size[1], f_in
@@ -54,6 +61,13 @@ def _pick_s2d_transpose(s2d, out_channels, kernel_size, stride,
         + kernel_size[0] + output_padding[0]
     )
     if s2d > 0:
+        if f_out % (stride[0] * s2d):
+            raise ValueError(
+                f"conv_s2d fold r={s2d} does not divide this transpose "
+                f"stage: output frequency length {f_out} is not a multiple "
+                f"of stride_f*r={stride[0] * s2d}; use conv_s2d='auto' or "
+                f"a dividing r"
+            )
         return s2d
     return conv_ops.auto_s2d_r(
         out_channels, kernel_size[0], kernel_size[1], f_out
@@ -473,13 +487,18 @@ class TorchLSTM(nn.Module):
 
 
 class TorchGRU(nn.Module):
-    """Multi-layer unidirectional nn.GRU parity (seq-major [T, B, In])."""
+    """Multi-layer unidirectional nn.GRU parity (seq-major [T, B, In]).
+
+    No fused Pallas cell exists for the GRU (unlike TorchLSTM): the GRU
+    branch is only reachable via FullSubNet's non-default
+    sequence_model="GRU", which is not a benched production path.  bf16
+    inputs get mixed-precision semantics inside ``rnn_ops.gru`` (f32 h
+    carry) just like the LSTM."""
 
     input_size: int
     hidden_size: int
     num_layers: int = 1
     dropout: float = 0.0
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, state=None,

@@ -187,8 +187,12 @@ def _fwd_call(x_proj, w_hh_t, h0, c0, need_cs=True):
 def fused_lstm_scan(x_proj, w_hh_t, h0, c0):
     """x_proj [T, L, Bb, 4H] (+biases folded in), w_hh_t [L, H, 4H],
     h0/c0 [L, Bb, H] f32 -> (ys [T, L, Bb, H] in x_proj dtype,
-    (hT, cT) f32).  Drop-in for rnn_ops._lstm_scan with f32 carry."""
-    ys, cs, hT, cT = _fwd_call(x_proj, w_hh_t, h0, c0)
+    (hT, cT) f32).  Drop-in for rnn_ops._lstm_scan with f32 carry.
+
+    The primal (inference) path skips the [T, L, Bb, H] cell-state
+    stash — only the VJP forward (_fused_fwd) materialises it for the
+    backward's gate recomputation."""
+    ys, cs, hT, cT = _fwd_call(x_proj, w_hh_t, h0, c0, need_cs=False)
     return ys, (hT, cT)
 
 

@@ -181,7 +181,6 @@ def _scan_or_pallas(x_proj, w_hh, H, h0, c0, unroll, use_pallas,
     when requested and applicable, else the lax.scan cell."""
     if resolve_pallas(use_pallas) and x_proj.ndim == 4 and (
         (carry_dtype or x_proj.dtype) == jnp.float32
-        or carry_dtype == jnp.float32
     ):
         from . import pallas_lstm
 
@@ -274,25 +273,44 @@ def gru(
     n_t = tanh(W_in x + b_in + r_t * (W_hn h + b_hn));
     h_t = (1 - z_t) n_t + z_t h_{t-1}.
     x: [T, B, In] -> [T, B, H].
+
+    bf16 inputs get the same MIXED semantics as ``lstm``: bf16 x_proj
+    stream and bf16 emitted outputs around an f32 h carry and f32 gate
+    arithmetic — a fully-bf16 recurrent carry compounds roundoff over
+    hundreds of steps (the NaN-by-step-150 failure measured for the
+    LSTM, docs/PERF.md), and the GRU's multiplicative z_t gating has
+    the same failure mode.
     """
-    params = LstmParams(*[p.astype(x.dtype) for p in params])
     H = params.w_hh.shape[1]
-    x_proj = (
-        jnp.einsum("tbi,gi->tbg", x, params.w_ih,
-                   precision=INPUT_PROJ_PRECISION)
-        + params.b_ih
-    )
-    h = jnp.zeros((x.shape[1], H), x.dtype) if h0 is None else h0
-    w_hh_t = params.w_hh.T  # [H, 3H]
-    b_hh = params.b_hh
+    if x.dtype == jnp.bfloat16:
+        x_proj = (
+            jnp.einsum("tbi,gi->tbg", x, params.w_ih.astype(x.dtype))
+            + params.b_ih.astype(x.dtype)
+        )
+        cdt, odt = jnp.float32, jnp.bfloat16
+        w_hh_t = params.w_hh.T.astype(cdt)  # [H, 3H]
+        b_hh = params.b_hh.astype(cdt)
+    else:
+        params = LstmParams(*[p.astype(x.dtype) for p in params])
+        x_proj = (
+            jnp.einsum("tbi,gi->tbg", x, params.w_ih,
+                       precision=INPUT_PROJ_PRECISION)
+            + params.b_ih
+        )
+        cdt = odt = x.dtype
+        w_hh_t = params.w_hh.T
+        b_hh = params.b_hh
+    h = (jnp.zeros((x.shape[1], H), cdt) if h0 is None
+         else h0.astype(cdt))
 
     def step(h, xp):
         hp = h @ w_hh_t + b_hh
+        xp = xp.astype(cdt)
         r = jax.nn.sigmoid(xp[..., :H] + hp[..., :H])
         z = jax.nn.sigmoid(xp[..., H : 2 * H] + hp[..., H : 2 * H])
         n = jnp.tanh(xp[..., 2 * H :] + r * hp[..., 2 * H :])
         h = (1.0 - z) * n + z * h
-        return h, h
+        return h, h.astype(odt)
 
     h, ys = lax.scan(step, h, x_proj, unroll=4)
     return ys, h

@@ -276,6 +276,13 @@ class Trainer:
         # keeps batch order (scoring itself fans out across host CPUs
         # inside _score via the process pool).
         futures = []
+        scored = []  # (pesq_s, stoi_s) per batch, in order
+        # Backpressure: each pending future pins its batch's est/cln
+        # arrays in host RAM, so cap the pipeline depth — if scoring
+        # lags the device by more than this many batches, drain the
+        # oldest before submitting more (host memory stays O(depth),
+        # not O(validation set))
+        max_pending = 4
         with ThreadPoolExecutor(max_workers=1) as score_pool:
             for bi, (noisy, clean) in enumerate(self._feed(self.valid_loader)):
                 metrics, outputs = self.eval_step(self.state, noisy, clean)
@@ -295,12 +302,14 @@ class Trainer:
                 if len(est) == 0:
                     continue  # this host holds only padding in the tail
                 futures.append(score_pool.submit(self._score, est, cln))
+                while len(futures) > max_pending:
+                    scored.append(futures.pop(0).result())
                 n_scored += len(est)
                 last = (self._to_host(noisy)[0], cln[0], est[0])
+            scored.extend(fut.result() for fut in futures)
 
         with open(score_path, "a") as f_score:
-            for fut in futures:
-                pesq_s, stoi_s = fut.result()
+            for pesq_s, stoi_s in scored:
                 # per-sample scores (reference: trainer.py:221-222)
                 for p, s in zip(pesq_s, stoi_s):
                     f_score.write(f"PESQ {p:.6f} | STOI {s:.6f}\n")

@@ -75,6 +75,47 @@ def test_dccrn_bf16_compute_close_to_f32():
     assert np.mean(np.abs(w32 - w16)) < 5e-3
 
 
+def test_fullsubnet_gru_bf16_trains():
+    """sequence_model=GRU under compute_dtype=bfloat16 must get the same
+    mixed-precision recurrence protection as the LSTM (f32 h carry in
+    rnn_ops.gru) — loss stays finite and decreases."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from se_tpu.train import create_train_state, make_train_step
+    from tests.test_models import small_cfg
+
+    rng = np.random.default_rng(3)
+    cfg = small_cfg(model="FullSubNet", loss="MSE", sequence_model="GRU")
+    cfg = cfg.replace(compute_dtype="bfloat16")
+    model, state = create_train_state(cfg)
+    L = cfg.stft.fs
+    noisy = jnp.asarray((rng.standard_normal((2, L)) * 0.1).astype(np.float32))
+    clean = jnp.asarray((rng.standard_normal((2, L)) * 0.1).astype(np.float32))
+    step = make_train_step(cfg, model)
+    losses = []
+    for i in range(5):
+        state, m = step(state, noisy, clean, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_forced_s2d_indivisible_raises():
+    """A forced conv_s2d fold that does not divide the stage geometry
+    raises a config-level ValueError, not a deep AssertionError."""
+    import pytest
+    from se_tpu.models.layers import _pick_s2d, _pick_s2d_transpose
+
+    # F=250 not divisible by stride_f*r = 2*8
+    with pytest.raises(ValueError, match="conv_s2d"):
+        _pick_s2d(8, 2, (5, 2), (2, 1), 250)
+    with pytest.raises(ValueError, match="conv_s2d"):
+        _pick_s2d_transpose(8, 2, (5, 2), (2, 1), (2, 0), (1, 0), 125)
+    # auto still falls back to 0 silently on the same geometry
+    assert _pick_s2d(-1, 2, (5, 2), (2, 1), 250) == 0
+
+
 def test_crn_bf16_compute_close_to_f32():
     """CRN bf16 compute path tracks the f32 forward and trains (bench runs
     CRN under compute_dtype=bfloat16 as the production path)."""

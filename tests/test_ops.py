@@ -375,3 +375,23 @@ def test_lstm_stack_mixed_precision_close_to_f32():
     assert h.dtype == c.dtype == jnp.float32
     err = float(jnp.max(jnp.abs(y32 - y16.astype(jnp.float32))))
     assert err < 0.05, err
+
+
+def test_gru_bf16_mixed_precision_close_to_f32():
+    """bf16 GRU inputs get bf16-stream/f32-carry semantics (same policy
+    as the LSTM: a fully-bf16 recurrent carry compounds roundoff over
+    hundreds of steps) and keep an f32 final state."""
+    import jax
+    import jax.numpy as jnp
+    from se_tpu.ops import rnn as rnn_ops
+
+    rng = np.random.default_rng(5)
+    T, B, In, H = 200, 3, 32, 16
+    x = jnp.asarray(rng.standard_normal((T, B, In)) * 0.5, jnp.float32)
+    p = rnn_ops.init_gru_params(jax.random.PRNGKey(1), In, H)
+    y32, h32 = rnn_ops.gru(p, x)
+    y16, h16 = rnn_ops.gru(p, x.astype(jnp.bfloat16))
+    assert y16.dtype == jnp.bfloat16
+    assert h16.dtype == jnp.float32
+    err = float(jnp.max(jnp.abs(y32 - y16.astype(jnp.float32))))
+    assert err < 0.05, err

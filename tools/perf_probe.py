@@ -125,11 +125,7 @@ def s2d_block(x, wb, r, dtype):
 
 def run_conv_bench():
     rng = np.random.default_rng(0)
-    total = {}
-    for name in ("dbatch_f32", "dbatch_bf16", "block_f32", "block_bf16",
-                 "nhwc_bf16", "nhwc_f32", "im2col_bf16",
-                 "s2d_bf16", "s2d_f32"):
-        total[name] = [0.0, 0.0]  # fwd, fwd+bwd
+    total = {}  # name -> [fwd, fwd+bwd] seconds, filled via setdefault
     print(f"B={B} T={T} kernel=({KH},{KW}) stride=(2,1)")
     for si, (ci, co, f_in) in enumerate(STAGES):
         gf = flops_stage(ci, co, f_in) / 1e9
