@@ -226,6 +226,61 @@ def test_dccrn_real_lstm_variant_imports():
     _tree_equal(got["batch_stats"], state.batch_stats)
 
 
+def test_dccrn_cbn_variant_imports():
+    cfg = Config(
+        model="DCCRN", lstm="complex", masking_mode="E",
+        dccrn=DccrnConfig(use_cbn=True),
+    )
+    from se_tpu.train.state import create_train_state
+
+    _, state = create_train_state(cfg)
+
+    def grammar(params, bstats):
+        def cbn(prefix, name):
+            for n in ("Wrr", "Wri", "Wii", "Br", "Bi"):
+                yield f"{prefix}.{n}", params[name][n]
+            st = bstats[name]["state"]
+            for n in ("RMr", "RMi", "RVrr", "RVri", "RVii"):
+                yield f"{prefix}.{n}", getattr(st, n)
+
+        for i in range(6):
+            c = params[f"encoder_{i}_conv"]
+            yield f"encoder.{i}.0.real_conv.weight", c["real_weight"]
+            yield f"encoder.{i}.0.real_conv.bias", c["real_bias"]
+            yield f"encoder.{i}.0.imag_conv.weight", c["imag_weight"]
+            yield f"encoder.{i}.0.imag_conv.bias", c["imag_bias"]
+            yield from cbn(f"encoder.{i}.1", f"encoder_{i}_bn")
+            yield f"encoder.{i}.2.weight", params[f"encoder_{i}_prelu"]["weight"]
+        for li in (0, 1):
+            blk = params[f"enhance_{li}"]
+            for part in ("real", "imag"):
+                for ours, theirs in (
+                    ("weight_ih", "weight_ih_l0"), ("weight_hh", "weight_hh_l0"),
+                    ("bias_ih", "bias_ih_l0"), ("bias_hh", "bias_hh_l0"),
+                ):
+                    yield f"enhance.{li}.{part}_lstm.{theirs}", blk[f"{part}_{ours}"]
+            for trans in ("r_trans", "i_trans"):
+                if trans in blk:
+                    yield f"enhance.{li}.{trans}.weight", blk[trans]["weight"]
+                    yield f"enhance.{li}.{trans}.bias", blk[trans]["bias"]
+        for i in range(6):
+            c = params[f"decoder_{i}_conv"]
+            yield f"decoder.{i}.0.real_conv.weight", c["real_weight"]
+            yield f"decoder.{i}.0.real_conv.bias", c["real_bias"]
+            yield f"decoder.{i}.0.imag_conv.weight", c["imag_weight"]
+            yield f"decoder.{i}.0.imag_conv.bias", c["imag_bias"]
+            if i < 5:
+                yield from cbn(f"decoder.{i}.1", f"decoder_{i}_bn")
+                yield f"decoder.{i}.2.weight", params[f"decoder_{i}_prelu"]["weight"]
+
+    ref_sd = _synthetic_ref_sd_from_template(
+        state.params, state.batch_stats, grammar
+    )
+    got = import_reference_state_dict(ref_sd, cfg)
+    _tree_equal(got["params"], state.params)
+    _tree_equal(got["batch_stats"], state.batch_stats)
+
+
 def test_unrecognised_keys_raise():
     torch.manual_seed(4)
     model = OracleFullSubNet()
