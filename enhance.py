@@ -36,24 +36,38 @@ def main():
     p.add_argument(
         "--streaming",
         action="store_true",
-        help="chunked carried-state inference (DCCRN/CRN): processes the "
-        "wav in --chunk-ms pieces with a fixed algorithmic latency, "
-        "interior-exact vs whole-utterance processing.",
+        help="chunked carried-state inference: processes the wav in "
+        "--chunk-ms pieces with a fixed algorithmic latency, exact vs "
+        "whole-utterance processing (FullSubNet needs --fsn-norm "
+        "cumulative_*).",
     )
     p.add_argument("--chunk-ms", type=int, default=100)
+    p.add_argument(
+        "--fsn-norm",
+        default=None,
+        help="FullSubNet norm_type override (e.g. cumulative_laplace_norm "
+        "for streaming; the norms are parameter-free statistics, so any "
+        "checkpoint accepts any norm).",
+    )
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from se_tpu.config import Config
+    from se_tpu.config import Config, FullSubNetConfig
     from se_tpu.models import build_model
     from se_tpu.train.state import create_train_state
     from se_tpu.train.checkpoint import restore_checkpoint
     from se_tpu.data.synth import read_wav, write_wav
 
+    fsn = (
+        FullSubNetConfig(norm_type=args.fsn_norm)
+        if args.fsn_norm
+        else FullSubNetConfig()
+    )
     cfg = Config(
-        model=args.model, masking_mode=args.masking_mode, lstm=args.lstm
+        model=args.model, masking_mode=args.masking_mode, lstm=args.lstm,
+        fullsubnet=fsn,
     )
     model, state = create_train_state(cfg)
     state, _ = restore_checkpoint(args.checkpoint, state)
@@ -84,14 +98,61 @@ def main():
     if use_jit is None:
         use_jit = jax.default_backend() != "cpu"
 
-    if args.streaming:
-        if cfg.model == "FullSubNet":
+    if args.streaming and cfg.model == "FullSubNet":
+        if not cfg.fullsubnet.norm_type.startswith("cumulative"):
             raise SystemExit(
-                "--streaming supports DCCRN and CRN on the waveform CLI; "
-                "FullSubNet streams in the STFT-frame domain — use "
-                "se_tpu.models.streaming_fullsubnet.StreamingFullSubNet"
-                ".enhance_chunk directly."
+                "FullSubNet streaming needs a causal norm: pass "
+                "--fsn-norm cumulative_laplace_norm (or cumulative_"
+                "layer_norm).  The offline_* norms are utterance-global "
+                "statistics with no causal form."
             )
+        from functools import partial
+
+        from se_tpu.dsp import frame_istft
+        from se_tpu.dsp.streaming_stft import StreamingStft
+        from se_tpu.models.streaming_fullsubnet import StreamingFullSubNet
+
+        stream = StreamingFullSubNet(cfg)
+        s = cfg.stft
+        hop = s.torch_hop
+        chunk = max(1, args.chunk_ms * s.fs // 1000 // hop) * hop
+        la = cfg.fullsubnet.look_ahead
+        model_step = partial(stream.apply, method="enhance_chunk")
+        if use_jit:
+            model_step = jax.jit(model_step)
+
+        def enhance(wav):
+            L = wav.shape[-1]
+            ana = StreamingStft(s.fft_len, hop, s.win_len)
+            astate, mstate, specs = None, None, []
+
+            def feed(frames, mstate):
+                if frames.shape[-1]:
+                    e, mstate = model_step(variables, frames, mstate)
+                    specs.append(e)
+                return mstate
+
+            for lo in range(0, L, chunk):
+                frames, astate = ana.push(wav[None, lo : lo + chunk], astate)
+                mstate = feed(frames, mstate)
+            mstate = feed(ana.flush(astate), mstate)
+            # the batch forward right-pads the magnitudes with look_ahead
+            # zero frames and crops the first look_ahead outputs
+            # (se_tpu/models/fullsubnet.py); feed the same zero frames so
+            # the masks for the final look_ahead real frames are emitted,
+            # then drop the warm-up outputs — the result is exact vs the
+            # batch path under the cumulative norms.
+            feed(
+                jnp.zeros((1, s.num_freqs, la), dtype=jnp.complex64), mstate
+            )
+            spec_all = jnp.concatenate(specs, axis=-1)[..., la:]
+            enh = jnp.stack(
+                (jnp.real(spec_all), jnp.imag(spec_all)), axis=-1
+            )
+            y = frame_istft(enh, s.fft_len, hop, s.win_len, length=L)
+            return np.asarray(y)[0]
+
+    elif args.streaming:
         from se_tpu.models.streaming import StreamingDCCRN
         from se_tpu.models.streaming_crn import StreamingCRN
 

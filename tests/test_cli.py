@@ -244,3 +244,81 @@ def test_enhance_cli_streaming_matches_batch_interior(tmp_path):
     np.testing.assert_allclose(
         outs["stream"][:hi], outs["batch"][:hi], atol=2e-4
     )
+
+
+def test_enhance_cli_streaming_fullsubnet_exact(tmp_path):
+    """enhance.py --streaming with FullSubNet (chunked analysis + carried
+    cumulative-norm/RNN state + zero-frame look-ahead flush) must be
+    sample-exact with the batch path over the WHOLE wav, on a
+    non-whole-second file."""
+    from se_tpu.data.synth import write_wav, read_wav
+    from se_tpu.config import Config, FullSubNetConfig
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import save_checkpoint
+
+    cfg = Config(
+        model="FullSubNet", loss="MSE",
+        fullsubnet=FullSubNetConfig(norm_type="cumulative_laplace_norm"),
+    )
+    model, state = create_train_state(cfg)
+    ckpt_dir = tmp_path / "ck"
+    os.makedirs(ckpt_dir)
+    save_checkpoint(str(ckpt_dir), state, epoch=1)
+
+    rng = np.random.default_rng(11)
+    wav_in = tmp_path / "noisy.wav"
+    write_wav(str(wav_in), rng.standard_normal(20000) * 0.05, 16000)  # 1.25 s
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = {}
+    for mode, extra in [("batch", []), ("stream", ["--streaming"])]:
+        out_dir = tmp_path / mode
+        r = subprocess.run(
+            [
+                sys.executable, "enhance.py",
+                "--checkpoint", str(ckpt_dir / "chkpt_1"),
+                "--model", "FullSubNet", "--no-jit",
+                "--fsn-norm", "cumulative_laplace_norm",
+                *extra, str(wav_in), "--out-dir", str(out_dir),
+            ],
+            cwd=ROOT, env=env, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        outs[mode], _ = read_wav(str(out_dir / "noisy.wav"))
+    assert len(outs["stream"]) == len(outs["batch"]) == 20000
+    # the stream handles the true reflect-padded tail and the look-ahead
+    # flush, so there is no excluded region: exact everywhere up to int16
+    # WAV quantisation
+    np.testing.assert_allclose(outs["stream"], outs["batch"], atol=2e-4)
+
+
+def test_enhance_cli_streaming_fullsubnet_rejects_offline_norm(tmp_path):
+    """The offline_* norms have no causal form; the CLI must refuse to
+    stream them instead of silently changing semantics."""
+    from se_tpu.config import Config
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import save_checkpoint
+    from se_tpu.data.synth import write_wav
+
+    cfg = Config(model="FullSubNet", loss="MSE")
+    model, state = create_train_state(cfg)
+    ckpt_dir = tmp_path / "ck"
+    os.makedirs(ckpt_dir)
+    save_checkpoint(str(ckpt_dir), state, epoch=1)
+    wav_in = tmp_path / "noisy.wav"
+    write_wav(str(wav_in), np.zeros(8000), 16000)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [
+            sys.executable, "enhance.py",
+            "--checkpoint", str(ckpt_dir / "chkpt_1"),
+            "--model", "FullSubNet", "--streaming", "--no-jit",
+            str(wav_in), "--out-dir", str(tmp_path / "out"),
+        ],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode != 0
+    assert "cumulative" in r.stderr
