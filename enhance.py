@@ -108,8 +108,7 @@ def main():
             )
         from functools import partial
 
-        from se_tpu.dsp import frame_istft
-        from se_tpu.dsp.streaming_stft import StreamingStft
+        from se_tpu.dsp.streaming_stft import StreamingIstft, StreamingStft
         from se_tpu.models.streaming_fullsubnet import StreamingFullSubNet
 
         stream = StreamingFullSubNet(cfg)
@@ -122,65 +121,82 @@ def main():
             model_step = jax.jit(model_step)
 
         def enhance(wav):
+            # every stage is chunk-streaming with carried state: analysis
+            # framing -> enhance_chunk -> OLA synthesis; only the emitted
+            # samples accumulate on the host.
             L = wav.shape[-1]
             ana = StreamingStft(s.fft_len, hop, s.win_len)
-            astate, mstate, specs = None, None, []
+            syn = StreamingIstft(s.fft_len, hop, s.win_len)
+            st = {"a": None, "m": None, "s": None, "skip": la}
+            outs = []
 
-            def feed(frames, mstate):
+            def feed(frames):
                 if frames.shape[-1]:
-                    e, mstate = model_step(variables, frames, mstate)
-                    specs.append(e)
-                return mstate
+                    e, st["m"] = model_step(variables, frames, st["m"])
+                    # drop the stream's look_ahead warm-up outputs (the
+                    # batch forward crops these, se_tpu/models/fullsubnet.py)
+                    drop = min(st["skip"], e.shape[-1])
+                    st["skip"] -= drop
+                    y, st["s"] = syn.push(e[..., drop:], st["s"])
+                    outs.append(y)
 
             for lo in range(0, L, chunk):
-                frames, astate = ana.push(wav[None, lo : lo + chunk], astate)
-                mstate = feed(frames, mstate)
-            mstate = feed(ana.flush(astate), mstate)
+                frames, st["a"] = ana.push(wav[None, lo : lo + chunk], st["a"])
+                feed(frames)
+            feed(ana.flush(st["a"]))
             # the batch forward right-pads the magnitudes with look_ahead
-            # zero frames and crops the first look_ahead outputs
-            # (se_tpu/models/fullsubnet.py); feed the same zero frames so
-            # the masks for the final look_ahead real frames are emitted,
-            # then drop the warm-up outputs — the result is exact vs the
+            # zero frames so the masks for the final frames are emitted;
+            # feed the same zero frames — the result is exact vs the
             # batch path under the cumulative norms.
-            feed(
-                jnp.zeros((1, s.num_freqs, la), dtype=jnp.complex64), mstate
-            )
-            spec_all = jnp.concatenate(specs, axis=-1)[..., la:]
-            enh = jnp.stack(
-                (jnp.real(spec_all), jnp.imag(spec_all)), axis=-1
-            )
-            y = frame_istft(enh, s.fft_len, hop, s.win_len, length=L)
-            return np.asarray(y)[0]
+            feed(jnp.zeros((1, s.num_freqs, la), dtype=jnp.complex64))
+            outs.append(syn.flush(st["s"]))
+            y = np.asarray(jnp.concatenate(outs, axis=-1))[0]
+            y = y[s.fft_len // 2 : s.fft_len // 2 + L]
+            return y if len(y) == L else np.pad(y, (0, L - len(y)))
 
     elif args.streaming:
+        from se_tpu.dsp import make_conv_stft_kernels
+        from se_tpu.dsp.streaming_stft import StreamingConvIstft
         from se_tpu.models.streaming import StreamingDCCRN
         from se_tpu.models.streaming_crn import StreamingCRN
 
         stream = (
             StreamingDCCRN(cfg) if cfg.model == "DCCRN" else StreamingCRN(cfg)
         )
-        hop = cfg.stft.win_inc
+        s_ = cfg.stft
+        kernels = make_conv_stft_kernels(
+            s_.win_len, s_.win_inc, s_.fft_len, s_.window
+        )
+        hop = s_.win_inc
         chunk = max(1, args.chunk_ms * cfg.stft.fs // 1000 // hop) * hop
         chunk_step = (
             jax.jit(stream.apply) if use_jit else stream.apply
         )
+        n_skip = stream.bind(variables).n_stages
 
         def enhance(wav):  # noqa: F811 — streaming replaces the closures
+            # chunk-streaming end to end: model frames -> OLA synthesis,
+            # emitting finalized samples per chunk (the clamp is
+            # pointwise, so per-chunk clip == the batch path's clip)
             L = wav.shape[-1]
             pad = -(-L // chunk) * chunk - L
             wavp = jnp.pad(wav, (0, pad))[None]
-            state, frames = None, []
+            syn = StreamingConvIstft(kernels)
+            state, sstate, outs = None, None, []
+            skip = n_skip  # algorithmic-latency frames: drop as they arrive
             for s in range(0, wavp.shape[-1], chunk):
                 spec, state = chunk_step(
                     variables, wavp[:, s : s + chunk], state
                 )
-                frames.append(spec)
-            bound = stream.bind(variables)
-            # drop the algorithmic-latency frames: the remaining stream is
-            # then sample-exact with the batch forward from sample 0
-            spec_all = jnp.concatenate(frames, axis=-1)[..., bound.n_stages:]
-            y = np.asarray(bound.synthesize(spec_all))[0]
-            return y[:L] if len(y) >= L else np.pad(y, (0, L - len(y)))
+                drop = min(skip, spec.shape[-1])
+                skip -= drop
+                y, sstate = syn.push(spec[..., drop:], sstate)
+                outs.append(jnp.clip(y, -1.0, 1.0))
+            outs.append(jnp.clip(syn.flush(sstate), -1.0, 1.0))
+            trim = kernels.win_len - kernels.hop
+            y = np.asarray(jnp.concatenate(outs, axis=-1))[0][trim:-trim]
+            y = y[:L]
+            return y if len(y) == L else np.pad(y, (0, L - len(y)))
 
     elif use_jit:
         # bucket lengths to whole seconds so jax.jit's shape-keyed cache

@@ -1,10 +1,13 @@
-"""Streaming (chunked) analysis for the framework-STFT path.
+"""Streaming (chunked) STFT analysis and synthesis with carried state.
 
 ``dsp.stft.stft`` matches ``torch.stft`` semantics (center=True: reflect
-pad ``n_fft//2`` both sides) over a whole utterance.  This module produces
-the IDENTICAL frame stream from waveform chunks with carried state, so a
-chunk-streaming model (e.g. ``StreamingFullSubNet``) can consume frames
-with bounded latency instead of waiting for the full wav.
+pad ``n_fft//2`` both sides) over a whole utterance.  ``StreamingStft``
+produces the IDENTICAL frame stream from waveform chunks with carried
+state, so a chunk-streaming model (e.g. ``StreamingFullSubNet``) can
+consume frames with bounded latency instead of waiting for the full wav;
+``StreamingIstft`` (torch path) and ``StreamingConvIstft`` (conv-STFT
+path, DCCRN/CRN) emit finalized synthesis samples per pushed frame chunk,
+so the whole enhance pipeline streams end-to-end.
 
 The reference has no streaming executor (its FullSubNet features are
 computed whole-utterance in the trainer, reference: trainer.py:100-103);
@@ -25,8 +28,10 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
+from .ola import overlap_add
 from .stft import _centered_window, _frame
 
 
@@ -98,3 +103,120 @@ class StreamingStft:
             jnp.concatenate([state["buf"], right], axis=-1)
         )
         return spec
+
+
+class StreamingIstft:
+    """Chunked torch.istft-equivalent synthesis with carried OLA state.
+
+    Pushing frame chunks emits ``hop`` samples per frame: once frame ``t``
+    is added, no later frame (which starts at ``(t+1)*hop``) can touch
+    samples below ``(t+1)*hop``, so both the overlap-add numerator and the
+    least-squares window envelope for those samples are final — the
+    emitted stream equals ``dsp.stft.istft``'s UNTRIMMED synthesis
+    sample-for-sample.  The caller slices ``[n_fft//2 : n_fft//2 + L]``
+    off the concatenated stream exactly as ``istft(..., length=L)`` does
+    (that trim spans chunk boundaries, so it cannot live here without
+    buffering the caller's timeline).
+    """
+
+    def __init__(self, n_fft: int = 512, hop: int = 300, win_len: int = 400):
+        self.n_fft = n_fft
+        self.hop = hop
+        self.pad = n_fft // 2
+        self.window = jnp.asarray(_centered_window(win_len, n_fft))
+
+    def push(self, spec: jnp.ndarray, state: Optional[dict] = None):
+        """Feed a chunk of STFT frames.
+
+        Args:
+          spec: [B, F, k] complex frames (or [B, F, k, 2] real/imag).
+          state: carried OLA state (None = stream start).
+
+        Returns:
+          (samples, state): [B, k * hop] finalized synthesis samples
+          (envelope-normalized) and the new carried state.
+        """
+        if spec.ndim == 4:
+            spec = jax.lax.complex(spec[..., 0], spec[..., 1])
+        B, F, k = spec.shape
+        carry_len = self.n_fft - self.hop
+        if k == 0:
+            if state is None:
+                state = {
+                    "acc": jnp.zeros((B, carry_len)),
+                    "env": jnp.zeros((1, carry_len)),
+                }
+            return jnp.zeros((B, 0)), state
+        frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=self.n_fft)
+        frames = frames * self.window[None, None, :]
+        out = overlap_add(frames, self.hop)  # [B, (k-1)*hop + n_fft]
+        env = overlap_add(
+            jnp.broadcast_to(
+                (self.window**2)[None, None, :], (1, k, self.n_fft)
+            ),
+            self.hop,
+        )
+        if state is not None:
+            out = out.at[:, :carry_len].add(state["acc"])
+            env = env.at[:, :carry_len].add(state["env"])
+        emit = k * self.hop
+        y = out[:, :emit] / jnp.where(
+            env[:, :emit] > 1e-11, env[:, :emit], 1.0
+        )
+        return y, {"acc": out[:, emit:], "env": env[:, emit:]}
+
+    def flush(self, state: dict) -> jnp.ndarray:
+        """Emit the final ``n_fft - hop`` buffered samples."""
+        return state["acc"] / jnp.where(
+            state["env"] > 1e-11, state["env"], 1.0
+        )
+
+
+class StreamingConvIstft:
+    """Chunked synthesis for the conv-STFT path (DCCRN / CRN).
+
+    Same emission argument as ``StreamingIstft``, for
+    ``dsp.stft.conv_istft`` semantics instead (pinv synthesis basis, OLA
+    normalization by ``env + 1e-8``, reference: tools_for_model.py:90-112):
+    after frame ``t`` is pushed, samples below ``(t+1)*hop`` are final.
+    The concatenation of pushes + flush equals ``conv_istft``'s UNTRIMMED
+    synthesis; the caller trims ``win_len - hop`` samples from each end,
+    exactly as the batch path does.
+    """
+
+    def __init__(self, kernels):
+        self.k = kernels
+
+    def push(self, spec: jnp.ndarray, state: Optional[dict] = None):
+        """Feed [B, fft_len + 2, c] real-stacked-over-imag frames; returns
+        ([B, c * hop] finalized samples, new state)."""
+        k = self.k
+        B, _, c = spec.shape
+        carry_len = k.win_len - k.hop
+        if c == 0:
+            if state is None:
+                state = {
+                    "acc": jnp.zeros((B, carry_len)),
+                    "env": jnp.zeros((1, carry_len)),
+                }
+            return jnp.zeros((B, 0)), state
+        frames = jnp.einsum(
+            "bft,nf->btn", spec, k.inv, precision=jax.lax.Precision.HIGHEST
+        )
+        out = overlap_add(frames, k.hop)  # [B, (c-1)*hop + win_len]
+        env = overlap_add(
+            jnp.broadcast_to(
+                (k.window**2)[None, None, :], (1, c, k.win_len)
+            ),
+            k.hop,
+        )
+        if state is not None:
+            out = out.at[:, :carry_len].add(state["acc"])
+            env = env.at[:, :carry_len].add(state["env"])
+        emit = c * k.hop
+        y = out[:, :emit] / (env[:, :emit] + 1e-8)
+        return y, {"acc": out[:, emit:], "env": env[:, emit:]}
+
+    def flush(self, state: dict) -> jnp.ndarray:
+        """Emit the final ``win_len - hop`` buffered samples."""
+        return state["acc"] / (state["env"] + 1e-8)

@@ -75,14 +75,24 @@ class StreamingDCCRN(DCCRN):
             )
         spec_buf = jnp.zeros((batch, self.fft_len + 2, n_stage + 1))
 
-        units = c.dccrn.rnn_units // 2
-        lstm_state = tuple(
-            (
-                jnp.zeros((2, 2 * batch, units)),
-                jnp.zeros((2, 2 * batch, units)),
+        if c.lstm == "complex":
+            units = c.dccrn.rnn_units // 2
+            lstm_state = tuple(
+                (
+                    jnp.zeros((2, 2 * batch, units)),
+                    jnp.zeros((2, 2 * batch, units)),
+                )
+                for _ in range(c.dccrn.rnn_layers)
             )
-            for _ in range(c.dccrn.rnn_layers)
-        )
+        else:
+            # TorchLSTM bottleneck: 2 layers of (h, c) (models/dccrn.py)
+            lstm_state = tuple(
+                (
+                    jnp.zeros((batch, c.dccrn.rnn_units)),
+                    jnp.zeros((batch, c.dccrn.rnn_units)),
+                )
+                for _ in range(2)
+            )
         # sample tail for stateful framing; a fresh stream starts with the
         # conv-STFT's win_len - hop left zero-padding
         tail = jnp.zeros((batch, self.win_len - self.win_inc))
@@ -146,18 +156,28 @@ class StreamingDCCRN(DCCRN):
                 out = y
                 skips.append(y)
 
-            # complex LSTM, one timestep with carried state
+            # bottleneck RNN, one timestep with carried state
             Bc, C, D, _ = out.shape
-            xr = out[:, : C // 2, :, 0].reshape(Bc, -1)[None]
-            xi = out[:, C // 2 :, :, 0].reshape(Bc, -1)[None]
             lstm_states = list(st["lstm"])
-            for li, rnn in enumerate(self.enhance):
-                (xr, xi), lstm_states[li] = rnn(
-                    [xr, xi], state=lstm_states[li], return_state=True
+            if c.lstm == "complex":
+                xr = out[:, : C // 2, :, 0].reshape(Bc, -1)[None]
+                xi = out[:, C // 2 :, :, 0].reshape(Bc, -1)[None]
+                for li, rnn in enumerate(self.enhance):
+                    (xr, xi), lstm_states[li] = rnn(
+                        [xr, xi], state=lstm_states[li], return_state=True
+                    )
+                xr = xr[0].reshape(Bc, C // 2, D, 1)
+                xi = xi[0].reshape(Bc, C // 2, D, 1)
+                cur = jnp.concatenate([xr, xi], axis=1)
+            else:
+                # real-LSTM bottleneck (reference models.py:96-105):
+                # flatten [C, D], 2-layer LSTM + Linear, one timestep
+                x1 = out[..., 0].reshape(Bc, C * D)[None]
+                y, lstm_states = self.enhance_lstm(
+                    x1, state=lstm_states, return_state=True
                 )
-            xr = xr[0].reshape(Bc, C // 2, D, 1)
-            xi = xi[0].reshape(Bc, C // 2, D, 1)
-            cur = jnp.concatenate([xr, xi], axis=1)
+                y = self.tranform(y)
+                cur = y[0].reshape(Bc, C, D, 1)
 
             # decoder pipeline: stage i emits frame t-1 of its own timeline
             dec_prev = list(st["dec_prev"])

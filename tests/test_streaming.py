@@ -12,9 +12,12 @@ from se_tpu.dsp import conv_stft
 from tests.test_models import small_cfg
 
 
-@pytest.mark.parametrize("mode", ["E", "C"])
-def test_streaming_matches_batch_interior(mode):
-    cfg = small_cfg(model="DCCRN", masking_mode=mode)
+@pytest.mark.parametrize(
+    "mode,lstm",
+    [("E", "complex"), ("C", "complex"), ("E", "real")],
+)
+def test_streaming_matches_batch_interior(mode, lstm):
+    cfg = small_cfg(model="DCCRN", masking_mode=mode, lstm=lstm)
     batch_model = build_model(cfg)
     variables = init_model(cfg, batch_model, batch=2, seconds=1)
     stream_model = StreamingDCCRN(cfg)
