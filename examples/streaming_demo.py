@@ -24,6 +24,8 @@ def main():
     import jax.numpy as jnp
 
     from se_tpu.config import Config, DccrnConfig
+    from se_tpu.dsp import make_conv_stft_kernels
+    from se_tpu.dsp.streaming_stft import StreamingConvIstft
     from se_tpu.models import build_model
     from se_tpu.models.streaming import StreamingDCCRN
     from se_tpu.models.factory import init_model
@@ -42,20 +44,30 @@ def main():
     )
     noisy = (clean + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
 
-    # feed in 100 ms chunks with carried state
+    # feed in 100 ms chunks with carried state, emitting finalized
+    # samples per chunk (streaming synthesis, no end-of-utterance pass)
+    s = cfg.stft
+    syn = StreamingConvIstft(
+        make_conv_stft_kernels(s.win_len, s.win_inc, s.fft_len, s.window)
+    )
     chunk = 1600
-    state = None
-    out_frames = []
+    state, sstate = None, None
+    n_chunks, n_samples = 0, 0
     for start in range(0, len(noisy), chunk):
         seg = jnp.asarray(noisy[None, start : start + chunk])
         spec, state = stream.apply(variables, seg, state)
-        out_frames.append(np.asarray(spec))
-        print(f"chunk @{start / 16000:.2f}s -> {spec.shape[-1]} frames")
-
-    all_spec = jnp.concatenate([jnp.asarray(f) for f in out_frames], axis=-1)
-    wav = stream.bind(variables).synthesize(all_spec)
-    print(f"streamed {len(out_frames)} chunks -> {wav.shape[-1]} samples "
-          f"(60 ms latency)")
+        samples, sstate = syn.push(spec, sstate)
+        samples = jnp.clip(samples, -1.0, 1.0)
+        n_chunks += 1
+        n_samples += samples.shape[-1]
+        print(
+            f"chunk @{start / 16000:.2f}s -> {spec.shape[-1]} frames, "
+            f"{samples.shape[-1]} samples out"
+        )
+    tail = syn.flush(sstate)
+    n_samples += tail.shape[-1]
+    print(f"streamed {n_chunks} chunks -> {n_samples} samples "
+          f"(60 ms model latency + one-frame OLA latency)")
 
 
 if __name__ == "__main__":
