@@ -1,0 +1,130 @@
+"""Streaming (serving) benchmark: per-chunk latency and real-time factor.
+
+Measures the chunked carried-state enhancement path the way a serving
+deployment runs it: B concurrent streams, one jitted step per audio
+chunk, a scalar fetch per step (the host must see the samples to ship
+them).  Reports per-chunk wall latency (mean/p95), the real-time factor
+(chunk duration / latency), and the implied concurrent real-time stream
+capacity of one chip.
+
+The reference has no streaming or serving path at all (enhancement only
+happens inside its validation loop, reference: trainer.py:188-239);
+this benchmarks a capability of this framework's own streaming executors.
+
+Usage: PYTHONPATH=. python tools/streaming_rtf.py [MODEL] [B] [CHUNK_MS] [DTYPE]
+  MODEL    DCCRN | CRN | FullSubNet   (default DCCRN)
+  B        concurrent streams         (default 32)
+  CHUNK_MS chunk size in ms           (default 100)
+  DTYPE    float32 | bfloat16         (default float32)
+
+Note (axon): the tunnelled single-chip TPU adds a ~3-4 ms per-dispatch
+floor, which is part of honest serving latency here but would not exist
+on a locally attached chip.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    model_name = sys.argv[1] if len(sys.argv) > 1 else "DCCRN"
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    chunk_ms = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    dtype = sys.argv[4] if len(sys.argv) > 4 else "float32"
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from se_tpu.config import Config, FullSubNetConfig
+    from se_tpu.models.factory import init_model, build_model
+
+    fs = 16000
+    n_warm, n_meas = 10, 50
+    rng = np.random.default_rng(0)
+
+    if model_name == "FullSubNet":
+        from functools import partial
+
+        from se_tpu.dsp.streaming_stft import StreamingStft
+        from se_tpu.models.streaming_fullsubnet import StreamingFullSubNet
+
+        cfg = Config(
+            model="FullSubNet", loss="MSE", compute_dtype=dtype,
+            fullsubnet=FullSubNetConfig(norm_type="cumulative_laplace_norm"),
+        )
+        variables = init_model(cfg, build_model(cfg), batch=2, seconds=1)
+        stream = StreamingFullSubNet(cfg)
+        s = cfg.stft
+        hop = s.torch_hop
+        chunk = max(1, chunk_ms * fs // 1000 // hop) * hop
+        step = jax.jit(partial(stream.apply, method="enhance_chunk"))
+        ana = StreamingStft(s.fft_len, hop, s.win_len)
+
+        def make_chunk():
+            return jnp.asarray(
+                (rng.standard_normal((B, chunk)) * 0.1).astype(np.float32)
+            )
+
+        astate = mstate = None
+
+        def run_chunk():
+            nonlocal astate, mstate
+            frames, astate = ana.push(make_chunk(), astate)
+            e, mstate = step(variables, frames, mstate)
+            float(jnp.real(e[0, 0, -1]))  # host fetch = samples shipped
+
+        # prime the analysis buffer so every measured push yields frames
+        run_chunk()
+    else:
+        from se_tpu.models.streaming import StreamingDCCRN
+        from se_tpu.models.streaming_crn import StreamingCRN
+
+        lstm = "complex" if model_name == "DCCRN" else "real"
+        cfg = Config(model=model_name, lstm=lstm, compute_dtype=dtype)
+        variables = init_model(cfg, build_model(cfg), batch=2, seconds=1)
+        stream = (
+            StreamingDCCRN(cfg) if model_name == "DCCRN" else StreamingCRN(cfg)
+        )
+        hop = cfg.stft.win_inc
+        chunk = max(1, chunk_ms * fs // 1000 // hop) * hop
+        step = jax.jit(stream.apply)
+
+        state = None
+
+        def run_chunk():
+            nonlocal state
+            seg = jnp.asarray(
+                (rng.standard_normal((B, chunk)) * 0.1).astype(np.float32)
+            )
+            spec, state = step(variables, seg, state)
+            float(spec[0, 0, -1])
+
+    for _ in range(n_warm):
+        run_chunk()
+    lat = []
+    for _ in range(n_meas):
+        t0 = time.perf_counter()
+        run_chunk()
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.asarray(lat)
+    chunk_dur_ms = chunk / fs * 1e3
+    rtf = chunk_dur_ms / lat.mean()
+    print(
+        f"{model_name} {dtype} B={B} chunk={chunk} samples "
+        f"({chunk_dur_ms:.0f} ms)\n"
+        f"per-chunk latency mean {lat.mean():.2f} ms | p50 "
+        f"{np.percentile(lat, 50):.2f} | p95 {np.percentile(lat, 95):.2f}\n"
+        f"real-time factor {rtf:.1f}x -> ~{int(B * rtf)} concurrent "
+        f"real-time streams/chip at this batch"
+    )
+
+
+if __name__ == "__main__":
+    main()
