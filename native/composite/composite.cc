@@ -107,8 +107,10 @@ void wss(const double* clean, const double* processed, long len, long fs,
       for (int i = 0; i < num_crit - 1; i++) {
         int n = i;
         if (s[i] > 0) {
+          // composite.m:314 takes energy(n-1) at exit — one band below the
+          // local maximum (oracle-pinned, tests/oracles/octave_composite.py)
           while (n < num_crit - 1 && s[n] > 0) n++;
-          out[i] = e[n];
+          out[i] = e[n - 1];
         } else {
           while (n >= 0 && s[n] <= 0) n--;
           out[i] = e[n + 1];

@@ -77,7 +77,13 @@ def wss(clean: np.ndarray, processed: np.ndarray, fs: int) -> np.ndarray:
     ps = pe[:, 1:] - pe[:, :-1]
 
     def loc_peaks(energy, slope):
-        """Nearest local peak per band (composite.m:305-339)."""
+        """Nearest local peak per band (composite.m:305-339).
+
+        The right search reproduces the reference exactly: composite.m:314
+        takes ``clean_energy(n-1)`` at loop exit — one band BELOW the local
+        maximum (0-based ``e[n-1]`` here) — not the maximum itself.  Pinned
+        by tests/oracles/octave_composite.py.
+        """
         T = energy.shape[0]
         out = np.empty((T, num_crit - 1))
         for t in range(T):
@@ -87,7 +93,7 @@ def wss(clean: np.ndarray, processed: np.ndarray, fs: int) -> np.ndarray:
                 if s[i] > 0:
                     while n < num_crit - 1 and s[n] > 0:
                         n += 1
-                    out[t, i] = e[n]
+                    out[t, i] = e[n - 1]
                 else:
                     while n >= 0 and s[n] <= 0:
                         n -= 1
@@ -231,11 +237,16 @@ def composite_measures(clean: np.ndarray, processed: np.ndarray, fs: int,
     processed = processed[:n] + eps
     alpha = 0.95
 
+    # MATLAB round() is half-away-from-zero (floor(x+0.5) for positive),
+    # not Python banker's rounding (composite.m:61,:67).
+    def _mround(x: float) -> int:
+        return int(np.floor(x + 0.5))
+
     wss_vec = np.sort(wss(clean, processed, fs))
-    wss_dist = np.mean(wss_vec[: round(len(wss_vec) * alpha)])
+    wss_dist = np.mean(wss_vec[: _mround(len(wss_vec) * alpha)])
 
     llr_vec = np.sort(llr(clean, processed, fs))
-    llr_mean = np.mean(llr_vec[: round(len(llr_vec) * alpha)])
+    llr_mean = np.mean(llr_vec[: _mround(len(llr_vec) * alpha)])
 
     _, seg = snr_measures(clean, processed, fs)
     seg_snr = float(np.mean(seg))

@@ -115,6 +115,52 @@ def test_composite_degrades_with_noise(rng):
     assert cbak1 >= cbak2
 
 
+def test_composite_numerical_parity_vs_octave_restatement(rng):
+    """Golden pin of WSS/LLR/segSNR and the CSIG/CBAK/COVL assembly against
+    the loop-style literal transliteration of composite.m
+    (tests/oracles/octave_composite.py) — the Octave program the reference
+    executes through oct2py (tools_for_estimate.py:19-30).  This is what
+    caught (a) the WSS right-search taking the band AT the local peak where
+    composite.m:314 takes the band one BELOW it, and (b) Python banker's
+    round vs MATLAB half-away rounding in the trimmed-mean lengths."""
+    from tests.oracles.octave_composite import (
+        composite_ref,
+        llr_ref,
+        snr_ref,
+        wss_ref,
+    )
+
+    x = _speechlike(rng)
+    fs = 16000
+    cases = [x + 0.001 * rng.standard_normal(len(x))]
+    for snr_db in (15, 0):
+        noise = rng.standard_normal(len(x))
+        noise *= np.sqrt(
+            np.mean(x**2) / np.mean(noise**2) * 10 ** (-snr_db / 10)
+        )
+        cases.append(x + noise)
+    # ragged length (frame-count floor semantics) and a short utterance
+    cases.append((x + 0.05 * rng.standard_normal(len(x)))[: len(x) - 731])
+    for y in cases:
+        c = x[: len(y)]
+        np.testing.assert_allclose(
+            wss(c, y, fs), wss_ref(c, y, fs), rtol=1e-10, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            llr(c, y, fs), llr_ref(c, y, fs), rtol=1e-8, atol=1e-10
+        )
+        overall, seg = snr_measures(c, y, fs)
+        overall_r, seg_r = snr_ref(c, y, fs)
+        np.testing.assert_allclose(overall, overall_r, rtol=1e-12)
+        np.testing.assert_allclose(seg, seg_r, rtol=1e-12, atol=1e-12)
+        ref = np.asarray(composite_ref(c, y, fs))
+        for prefer_native in (False, True):
+            got = np.asarray(
+                composite_measures(c, y, fs, prefer_native=prefer_native)
+            )
+            np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
 def test_lpcoeff_matches_direct_solve(rng):
     """LPC via Levinson-Durbin must solve the Toeplitz normal equations."""
     frames = rng.standard_normal((3, 480))
