@@ -105,18 +105,50 @@ class StreamingStft:
         return spec
 
 
+def _ola_carry_push(frames, window, hop, state, normalize):
+    """Shared OLA carry-emit step for the streaming synthesisers.
+
+    The emission invariant: once frame ``t`` is added, no later frame
+    (which starts at ``(t+1)*hop``) can touch samples below ``(t+1)*hop``,
+    so both the overlap-add numerator and the window-squared envelope for
+    those samples are final.  ``frames`` is [B, k, win] already windowed;
+    ``normalize(acc, env)`` applies the path's envelope division.  Returns
+    ([B, k*hop] finalized samples, new {acc, env} state).
+    """
+    B, k, win = frames.shape
+    carry_len = win - hop
+    out = overlap_add(frames, hop)  # [B, (k-1)*hop + win]
+    env = overlap_add(
+        jnp.broadcast_to((window**2)[None, None, :], (1, k, win)), hop
+    )
+    if state is not None:
+        out = out.at[:, :carry_len].add(state["acc"])
+        env = env.at[:, :carry_len].add(state["env"])
+    emit = k * hop
+    y = normalize(out[:, :emit], env[:, :emit])
+    return y, {"acc": out[:, emit:], "env": env[:, emit:]}
+
+
+def _ola_empty_push(batch, win, hop, state):
+    """k == 0 push: nothing to emit; materialize a fresh empty state."""
+    if state is None:
+        state = {
+            "acc": jnp.zeros((batch, win - hop)),
+            "env": jnp.zeros((1, win - hop)),
+        }
+    return jnp.zeros((batch, 0)), state
+
+
 class StreamingIstft:
     """Chunked torch.istft-equivalent synthesis with carried OLA state.
 
-    Pushing frame chunks emits ``hop`` samples per frame: once frame ``t``
-    is added, no later frame (which starts at ``(t+1)*hop``) can touch
-    samples below ``(t+1)*hop``, so both the overlap-add numerator and the
-    least-squares window envelope for those samples are final — the
-    emitted stream equals ``dsp.stft.istft``'s UNTRIMMED synthesis
-    sample-for-sample.  The caller slices ``[n_fft//2 : n_fft//2 + L]``
-    off the concatenated stream exactly as ``istft(..., length=L)`` does
-    (that trim spans chunk boundaries, so it cannot live here without
-    buffering the caller's timeline).
+    Pushing frame chunks emits ``hop`` samples per frame (the
+    ``_ola_carry_push`` invariant) — the emitted stream equals
+    ``dsp.stft.istft``'s UNTRIMMED synthesis sample-for-sample.  The
+    caller slices ``[n_fft//2 : n_fft//2 + L]`` off the concatenated
+    stream exactly as ``istft(..., length=L)`` does (that trim spans
+    chunk boundaries, so it cannot live here without buffering the
+    caller's timeline).
     """
 
     def __init__(self, n_fft: int = 512, hop: int = 300, win_len: int = 400):
@@ -124,6 +156,11 @@ class StreamingIstft:
         self.hop = hop
         self.pad = n_fft // 2
         self.window = jnp.asarray(_centered_window(win_len, n_fft))
+
+    @staticmethod
+    def _normalize(acc, env):
+        # torch.istft's least-squares envelope division (guarded at ~0)
+        return acc / jnp.where(env > 1e-11, env, 1.0)
 
     def push(self, spec: jnp.ndarray, state: Optional[dict] = None):
         """Feed a chunk of STFT frames.
@@ -139,46 +176,25 @@ class StreamingIstft:
         if spec.ndim == 4:
             spec = jax.lax.complex(spec[..., 0], spec[..., 1])
         B, F, k = spec.shape
-        carry_len = self.n_fft - self.hop
         if k == 0:
-            if state is None:
-                state = {
-                    "acc": jnp.zeros((B, carry_len)),
-                    "env": jnp.zeros((1, carry_len)),
-                }
-            return jnp.zeros((B, 0)), state
+            return _ola_empty_push(B, self.n_fft, self.hop, state)
         frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=self.n_fft)
         frames = frames * self.window[None, None, :]
-        out = overlap_add(frames, self.hop)  # [B, (k-1)*hop + n_fft]
-        env = overlap_add(
-            jnp.broadcast_to(
-                (self.window**2)[None, None, :], (1, k, self.n_fft)
-            ),
-            self.hop,
+        return _ola_carry_push(
+            frames, self.window, self.hop, state, self._normalize
         )
-        if state is not None:
-            out = out.at[:, :carry_len].add(state["acc"])
-            env = env.at[:, :carry_len].add(state["env"])
-        emit = k * self.hop
-        y = out[:, :emit] / jnp.where(
-            env[:, :emit] > 1e-11, env[:, :emit], 1.0
-        )
-        return y, {"acc": out[:, emit:], "env": env[:, emit:]}
 
     def flush(self, state: dict) -> jnp.ndarray:
         """Emit the final ``n_fft - hop`` buffered samples."""
-        return state["acc"] / jnp.where(
-            state["env"] > 1e-11, state["env"], 1.0
-        )
+        return self._normalize(state["acc"], state["env"])
 
 
 class StreamingConvIstft:
     """Chunked synthesis for the conv-STFT path (DCCRN / CRN).
 
-    Same emission argument as ``StreamingIstft``, for
+    Same emission invariant as ``StreamingIstft``, for
     ``dsp.stft.conv_istft`` semantics instead (pinv synthesis basis, OLA
-    normalization by ``env + 1e-8``, reference: tools_for_model.py:90-112):
-    after frame ``t`` is pushed, samples below ``(t+1)*hop`` are final.
+    normalization by ``env + 1e-8``, reference: tools_for_model.py:90-112).
     The concatenation of pushes + flush equals ``conv_istft``'s UNTRIMMED
     synthesis; the caller trims ``win_len - hop`` samples from each end,
     exactly as the batch path does.
@@ -187,36 +203,25 @@ class StreamingConvIstft:
     def __init__(self, kernels):
         self.k = kernels
 
+    @staticmethod
+    def _normalize(acc, env):
+        # conv-iSTFT's epsilon-regularized envelope (tools_for_model.py:107)
+        return acc / (env + 1e-8)
+
     def push(self, spec: jnp.ndarray, state: Optional[dict] = None):
         """Feed [B, fft_len + 2, c] real-stacked-over-imag frames; returns
         ([B, c * hop] finalized samples, new state)."""
         k = self.k
         B, _, c = spec.shape
-        carry_len = k.win_len - k.hop
         if c == 0:
-            if state is None:
-                state = {
-                    "acc": jnp.zeros((B, carry_len)),
-                    "env": jnp.zeros((1, carry_len)),
-                }
-            return jnp.zeros((B, 0)), state
+            return _ola_empty_push(B, k.win_len, k.hop, state)
         frames = jnp.einsum(
             "bft,nf->btn", spec, k.inv, precision=jax.lax.Precision.HIGHEST
         )
-        out = overlap_add(frames, k.hop)  # [B, (c-1)*hop + win_len]
-        env = overlap_add(
-            jnp.broadcast_to(
-                (k.window**2)[None, None, :], (1, c, k.win_len)
-            ),
-            k.hop,
+        return _ola_carry_push(
+            frames, k.window, k.hop, state, self._normalize
         )
-        if state is not None:
-            out = out.at[:, :carry_len].add(state["acc"])
-            env = env.at[:, :carry_len].add(state["env"])
-        emit = c * k.hop
-        y = out[:, :emit] / (env[:, :emit] + 1e-8)
-        return y, {"acc": out[:, emit:], "env": env[:, emit:]}
 
     def flush(self, state: dict) -> jnp.ndarray:
         """Emit the final ``win_len - hop`` buffered samples."""
-        return state["acc"] / (state["env"] + 1e-8)
+        return self._normalize(state["acc"], state["env"])

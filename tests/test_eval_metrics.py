@@ -88,6 +88,31 @@ def test_stoi_resampler_matches_octave_window(rng):
     np.testing.assert_allclose(mine, ref, atol=1e-14)
 
 
+def test_stoi_degenerate_inputs_match_pystoi_guard(rng):
+    """Short or mostly-silent signals must return pystoi's 1e-5 guard
+    value (fewer than N=30 STFT frames after silence removal), never
+    crash the validation scoring thread."""
+    from tests.oracles.pystoi_ref import stoi as ref_stoi
+
+    # one 0.2 s burst in 3 s of digital silence: VAD drops most frames
+    x = np.zeros(48000)
+    t = np.arange(3200) / 16000.0
+    x[10000:13200] = 0.3 * np.sin(2 * np.pi * 300 * t)
+    y = x + 1e-6 * rng.standard_normal(len(x))
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert stoi(x, y, 16000) == ref_stoi(x, y, 16000) == 1e-5
+        # sub-frame-length signal
+        x2 = 0.1 * rng.standard_normal(3000)
+        y2 = x2 + 0.01 * rng.standard_normal(3000)
+        assert stoi(x2, y2, 16000) == ref_stoi(x2, y2, 16000) == 1e-5
+    # pure silence must not crash either
+    z = np.zeros(48000)
+    assert np.isfinite(stoi(z, z, 16000))
+
+
 def test_wss_zero_for_identical(rng):
     x = _speechlike(rng)
     d = wss(x, x, 16000)

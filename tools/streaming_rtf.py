@@ -11,11 +11,15 @@ The reference has no streaming or serving path at all (enhancement only
 happens inside its validation loop, reference: trainer.py:188-239);
 this benchmarks a capability of this framework's own streaming executors.
 
-Usage: PYTHONPATH=. python tools/streaming_rtf.py [MODEL] [B] [CHUNK_MS] [DTYPE]
+Usage: PYTHONPATH=. python tools/streaming_rtf.py [MODEL] [B] [CHUNK_MS]
   MODEL    DCCRN | CRN | FullSubNet   (default DCCRN)
   B        concurrent streams         (default 32)
   CHUNK_MS chunk size in ms           (default 100)
-  DTYPE    float32 | bfloat16         (default float32)
+
+The streaming executors run f32 only: they are sample-exact vs the f32
+batch forward (their correctness contract), and the per-chunk latency is
+dominated by the sequential per-frame scan, not FLOPs (docs/PERF.md), so
+a bf16 activation path would change numerics without moving latency.
 
 Note (axon): the tunnelled single-chip TPU adds a ~3-4 ms per-dispatch
 floor, which is part of honest serving latency here but would not exist
@@ -34,7 +38,13 @@ def main():
     model_name = sys.argv[1] if len(sys.argv) > 1 else "DCCRN"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     chunk_ms = int(sys.argv[3]) if len(sys.argv) > 3 else 100
-    dtype = sys.argv[4] if len(sys.argv) > 4 else "float32"
+    if len(sys.argv) > 4 and sys.argv[4] != "float32":
+        raise SystemExit(
+            "streaming executors are f32-only (exactness contract vs the "
+            "batch forward; latency is scan-bound, not FLOP-bound — see "
+            "module docstring)"
+        )
+    dtype = "float32"
 
     import jax
 
