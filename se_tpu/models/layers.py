@@ -489,16 +489,18 @@ class TorchLSTM(nn.Module):
 class TorchGRU(nn.Module):
     """Multi-layer unidirectional nn.GRU parity (seq-major [T, B, In]).
 
-    No fused Pallas cell exists for the GRU (unlike TorchLSTM): the GRU
-    branch is only reachable via FullSubNet's non-default
-    sequence_model="GRU", which is not a benched production path.  bf16
-    inputs get mixed-precision semantics inside ``rnn_ops.gru`` (f32 h
-    carry) just like the LSTM."""
+    ``use_pallas`` routes each layer's recurrence through the fused
+    in-projection Pallas cell (pallas_lstm.fused_gru_scan_inproj) — the
+    same VMEM-resident treatment as TorchLSTM, needed for FullSubNet's
+    sequence_model="GRU" variant at real sub-band batches.  bf16 inputs
+    get mixed-precision semantics inside ``rnn_ops.gru`` (f32 h carry)
+    just like the LSTM."""
 
     input_size: int
     hidden_size: int
     num_layers: int = 1
     dropout: float = 0.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, state=None,
@@ -529,7 +531,7 @@ class TorchGRU(nn.Module):
                 ),
             )
             h0 = state[layer] if state is not None else None
-            x, final = rnn_ops.gru(params, x, h0)
+            x, final = rnn_ops.gru(params, x, h0, use_pallas=self.use_pallas)
             finals.append(final)
             if train and self.dropout > 0 and layer < self.num_layers - 1:
                 x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
@@ -643,6 +645,7 @@ class SequenceModel(nn.Module):
                 self.hidden_size,
                 self.num_layers,
                 self.dropout,
+                use_pallas=self.use_pallas,
                 name="sequence_model",
             )(x, train=train, state=state, return_state=return_state)
         else:

@@ -549,3 +549,256 @@ def _inproj_bwd(res, grads):
 
 
 fused_lstm_scan_inproj.defvjp(_inproj_fwd, _inproj_bwd)
+
+
+# ---------------------------------------------------------------------------
+# GRU in-projection variant.
+#
+# Same motivation and structure as fused_lstm_scan_inproj, for torch GRU
+# gate semantics (r, z, n with n = tanh(W_in x + b_in + r * (W_hn h +
+# b_hn)), reference recurrence consumed via tools_for_model.py:726-795's
+# SequenceModel("GRU")).  Unlike the LSTM the two bias vectors CANNOT be
+# folded: the hidden-side n-gate projection is multiplied by r before the
+# input-side term is added, so b_hh rides inside that product.  The only
+# backward stash is ys (the GRU's h is its entire state).
+# ---------------------------------------------------------------------------
+
+
+def _gru_gates(x, h_prev, wih_ref, bih_ref, whh_ref, bhh_ref, H, L):
+    """Shared forward gate math: returns (r, z, n, hp_n)."""
+    xp = jnp.stack(
+        [
+            jnp.dot(x[l], wih_ref[l], preferred_element_type=jnp.float32)
+            for l in range(L)
+        ]
+    ) + bih_ref[:][:, None, :]
+    hp = jnp.stack(
+        [
+            jnp.dot(h_prev[l], whh_ref[l],
+                    preferred_element_type=jnp.float32)
+            for l in range(L)
+        ]
+    ) + bhh_ref[:][:, None, :]
+    r = _sigmoid(xp[..., 0 * H : 1 * H] + hp[..., 0 * H : 1 * H])
+    z = _sigmoid(xp[..., 1 * H : 2 * H] + hp[..., 1 * H : 2 * H])
+    hp_n = hp[..., 2 * H : 3 * H]
+    n = jnp.tanh(xp[..., 2 * H : 3 * H] + r * hp_n)
+    return r, z, n, hp_n
+
+
+def _fwd_gru_kernel(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref, h0_ref,
+                    ys_ref, hT_ref):
+    t = pl.program_id(1)
+    L, bb, H = h0_ref.shape
+
+    @pl.when(t == 0)
+    def _():
+        hT_ref[:] = h0_ref[:]
+
+    h = hT_ref[:]
+    x = x_ref[0].astype(jnp.float32)
+    r, z, n, _ = _gru_gates(x, h, wih_ref, bih_ref, whh_ref, bhh_ref, H, L)
+    h = (1.0 - z) * n + z * h
+    hT_ref[:] = h
+    ys_ref[0] = h.astype(ys_ref.dtype)
+
+
+def _bwd_gru_kernel(x_ref, ysp_ref, dys_ref,
+                    wih_ref, bih_ref, whh_ref, bhh_ref, h0_ref, dhT_ref,
+                    dx_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref,
+                    dh0_ref):
+    bidx = pl.program_id(0)
+    i_rev = pl.program_id(1)
+    T = pl.num_programs(1)
+    t = T - 1 - i_rev
+    L, bb, H = h0_ref.shape
+
+    @pl.when((bidx == 0) & (i_rev == 0))
+    def _():
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dbih_ref[:] = jnp.zeros_like(dbih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
+
+    @pl.when(i_rev == 0)
+    def _():
+        dh0_ref[:] = dhT_ref[:]
+
+    first = t == 0
+    h_prev = jnp.where(first, h0_ref[:], ysp_ref[0].astype(jnp.float32))
+    x = x_ref[0].astype(jnp.float32)
+    r, z, n, hp_n = _gru_gates(
+        x, h_prev, wih_ref, bih_ref, whh_ref, bhh_ref, H, L
+    )
+
+    dh = dys_ref[0].astype(jnp.float32) + dh0_ref[:]
+    # h_t = (1 - z) n + z h_prev
+    da_z = dh * (h_prev - n) * z * (1.0 - z)
+    dn = dh * (1.0 - z)
+    da_n = dn * (1.0 - n * n)
+    da_r = da_n * hp_n * r * (1.0 - r)
+    dxp = jnp.concatenate([da_r, da_z, da_n], axis=-1)        # [L, bb, 3H]
+    dhp = jnp.concatenate([da_r, da_z, da_n * r], axis=-1)
+
+    dx_ref[0] = jnp.stack(
+        [
+            jax.lax.dot_general(
+                dxp[l], wih_ref[l],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for l in range(L)
+        ]
+    ).astype(dx_ref.dtype)
+    dwih_ref[:] = dwih_ref[:] + jnp.stack(
+        [
+            jax.lax.dot_general(
+                x[l], dxp[l],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for l in range(L)
+        ]
+    )
+    dbih_ref[:] = dbih_ref[:] + jnp.sum(dxp, axis=1)
+    dwhh_ref[:] = dwhh_ref[:] + jnp.stack(
+        [
+            jax.lax.dot_general(
+                h_prev[l], dhp[l],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for l in range(L)
+        ]
+    )
+    dbhh_ref[:] = dbhh_ref[:] + jnp.sum(dhp, axis=1)
+    dh0_ref[:] = dh * z + jnp.stack(
+        [
+            jax.lax.dot_general(
+                dhp[l], whh_ref[l],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for l in range(L)
+        ]
+    )
+
+
+def _gru_call(x, w_ih_t, b_ih, w_hh_t, b_hh, h0):
+    T, L, Bb, In = x.shape
+    H = w_hh_t.shape[1]
+    threeH = 3 * H
+    bb, padded = plan_batch(Bb, _inproj_target(H))
+    if padded != Bb:
+        pb = padded - Bb
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pb), (0, 0)))
+        h0 = jnp.pad(h0, ((0, 0), (0, pb), (0, 0)))
+        Bb = padded
+    grid = (Bb // bb, T)
+
+    xmap = lambda b, t: (t, 0, b, 0)
+    cmap3 = lambda b, t: (0, b, 0)
+    wmap = lambda b, t: (0, 0, 0)
+    bmap = lambda b, t: (0, 0)
+    ys, hT = pl.pallas_call(
+        _fwd_gru_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L, bb, In), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, In, threeH), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, threeH), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, H, threeH), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, threeH), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, bb, H), cmap3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, bb, H), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, bb, H), cmap3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, L, Bb, H), x.dtype),
+            jax.ShapeDtypeStruct((L, Bb, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x, w_ih_t, b_ih, w_hh_t, b_hh, h0)
+    return ys, hT
+
+
+@jax.custom_vjp
+def fused_gru_scan_inproj(x, w_ih_t, b_ih, w_hh_t, b_hh, h0):
+    """x [T, L, Bb, In], w_ih_t [L, In, 3H], b_ih/b_hh [L, 3H] (NOT
+    foldable — b_hh's n-gate slice is multiplied by r), w_hh_t [L, H, 3H],
+    h0 [L, Bb, H] f32 -> (ys [T, L, Bb, H] in x dtype, hT f32).  Torch
+    GRU gate semantics; input projection per step in VMEM; only ys is
+    stashed for the backward.  Batches beyond one VMEM tile are
+    zero-padded to 8-aligned tiles internally."""
+    Bb = x.shape[2]
+    ys, hT = _gru_call(x, w_ih_t, b_ih, w_hh_t, b_hh, h0)
+    return ys[:, :, :Bb], hT[:, :Bb]
+
+
+def _gru_fwd(x, w_ih_t, b_ih, w_hh_t, b_hh, h0):
+    Bb = x.shape[2]
+    ys, hT = _gru_call(x, w_ih_t, b_ih, w_hh_t, b_hh, h0)
+    return (ys[:, :, :Bb], hT[:, :Bb]), (
+        x, w_ih_t, b_ih, w_hh_t, b_hh, h0, ys)
+
+
+def _gru_bwd(res, grads):
+    x, w_ih_t, b_ih, w_hh_t, b_hh, h0, ys = res
+    dys, dhT = grads
+    T, L, Bb, In = x.shape
+    H = w_hh_t.shape[1]
+    threeH = 3 * H
+    bb, padded = plan_batch(Bb, _inproj_target(H))
+    if padded != Bb:
+        pb = padded - Bb
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pb), (0, 0)))
+        h0 = jnp.pad(h0, ((0, 0), (0, pb), (0, 0)))
+        dys = jnp.pad(dys, ((0, 0), (0, 0), (0, pb), (0, 0)))
+        dhT = jnp.pad(dhT, ((0, 0), (0, pb), (0, 0)))
+    BbP = padded
+    grid = (BbP // bb, T)
+
+    rev = lambda b, t: (T - 1 - t, 0, b, 0)
+    rev_prev = lambda b, t: (jnp.maximum(T - 2 - t, 0), 0, b, 0)
+    cmap3 = lambda b, t: (0, b, 0)
+    wmap = lambda b, t: (0, 0, 0)
+    bmap = lambda b, t: (0, 0)
+
+    dx, dwih, dbih, dwhh, dbhh, dh0 = pl.pallas_call(
+        _bwd_gru_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L, bb, In), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, bb, H), rev_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, bb, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, In, threeH), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, threeH), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, H, threeH), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, threeH), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, bb, H), cmap3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, bb, H), cmap3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, bb, In), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, In, threeH), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, threeH), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, H, threeH), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, threeH), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, bb, H), cmap3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, L, BbP, In), x.dtype),
+            jax.ShapeDtypeStruct((L, In, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((L, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((L, H, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((L, threeH), jnp.float32),
+            jax.ShapeDtypeStruct((L, BbP, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x, ys, dys, w_ih_t, b_ih, w_hh_t, b_hh, h0, dhT)
+    return dx[:, :, :Bb], dwih, dbih, dwhh, dbhh, dh0[:, :Bb]
+
+
+fused_gru_scan_inproj.defvjp(_gru_fwd, _gru_bwd)

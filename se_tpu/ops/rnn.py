@@ -267,12 +267,19 @@ def gru(
     params: LstmParams,
     x: jnp.ndarray,
     h0: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-layer unidirectional GRU with torch gate semantics.
 
     n_t = tanh(W_in x + b_in + r_t * (W_hn h + b_hn));
     h_t = (1 - z_t) n_t + z_t h_{t-1}.
     x: [T, B, In] -> [T, B, H].
+
+    ``use_pallas`` runs the fused in-projection kernel
+    (pallas_lstm.fused_gru_scan_inproj): input GEMM per step in VMEM,
+    only ys stashed for the backward — the same O(T*B*H)-residual fix
+    that lets FullSubNet's B*257-row sub-band batch train (the hoisted
+    x_proj below is O(T*B*3H) in HBM).
 
     bf16 inputs get the same MIXED semantics as ``lstm``: bf16 x_proj
     stream and bf16 emitted outputs around an f32 h carry and f32 gate
@@ -282,6 +289,24 @@ def gru(
     the same failure mode.
     """
     H = params.w_hh.shape[1]
+    if resolve_pallas(use_pallas):
+        from . import pallas_lstm
+
+        T, B, In = x.shape
+        h0_ = jnp.zeros((1, B, H), jnp.float32) if h0 is None \
+            else h0[None].astype(jnp.float32)
+        # same layout barrier as lstm(): keep the stream materialised so
+        # XLA does not remat producer slices against the kernel layout
+        x = jax.lax.optimization_barrier(x)
+        ys, hT = pallas_lstm.fused_gru_scan_inproj(
+            x[:, None],
+            params.w_ih.T[None].astype(jnp.float32),
+            params.b_ih[None].astype(jnp.float32),
+            params.w_hh.T[None].astype(jnp.float32),
+            params.b_hh[None].astype(jnp.float32),
+            h0_,
+        )
+        return ys[:, 0], hT[0]
     if x.dtype == jnp.bfloat16:
         x_proj = (
             jnp.einsum("tbi,gi->tbg", x, params.w_ih.astype(x.dtype))
