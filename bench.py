@@ -88,7 +88,27 @@ def _bench_enhance(cfg, batch, rng):
     return batch / ((time.perf_counter() - t0) / N_ITERS)
 
 
-def _emit(metric, value, baseline):
+def _emit(metric, thunk, baseline, retries: int = 2):
+    """Measure and print one metric as a JSON line.
+
+    The tunnelled axon TPU flaps in windows of minutes (docs/PERF.md);
+    a transient failure on one metric must not kill the whole bench, so
+    each measurement retries after a backoff and a persistent failure
+    skips just that metric (error to stderr, next metric still runs)."""
+    import sys
+    import traceback
+
+    for attempt in range(retries + 1):
+        try:
+            value = thunk()
+            break
+        except Exception:
+            if attempt == retries:
+                print(f"[bench] {metric} failed after {retries + 1} "
+                      f"attempts:\n{traceback.format_exc()}",
+                      file=sys.stderr, flush=True)
+                return
+            time.sleep(20.0 * (attempt + 1))
     print(
         json.dumps(
             {
@@ -97,7 +117,8 @@ def _emit(metric, value, baseline):
                 "unit": "3s-utterances/sec/chip",
                 "vs_baseline": round(value / baseline, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 
@@ -117,22 +138,22 @@ def main():
     crn16 = crn.replace(compute_dtype="bfloat16")
     _emit(
         "crn_enhance_utterances_per_sec_per_chip",
-        _bench_enhance(crn, CRN_ENHANCE_BATCH, rng),
+        lambda: _bench_enhance(crn, CRN_ENHANCE_BATCH, rng),
         BASELINES["crn"]["enhance"],
     )
     _emit(
         "crn_enhance_bf16_utterances_per_sec_per_chip",
-        _bench_enhance(crn16, CRN_ENHANCE_BATCH_BF16, rng),
+        lambda: _bench_enhance(crn16, CRN_ENHANCE_BATCH_BF16, rng),
         BASELINES["crn"]["enhance"],
     )
     _emit(
         "crn_train_utterances_per_sec_per_chip",
-        _bench_train(crn, CRN_TRAIN_BATCH, key, rng),
+        lambda: _bench_train(crn, CRN_TRAIN_BATCH, key, rng),
         BASELINES["crn"]["train"],
     )
     _emit(
         "crn_train_bf16_utterances_per_sec_per_chip",
-        _bench_train(crn16, CRN_TRAIN_BATCH_BF16, key, rng),
+        lambda: _bench_train(crn16, CRN_TRAIN_BATCH_BF16, key, rng),
         BASELINES["crn"]["train"],
     )
 
@@ -141,22 +162,22 @@ def main():
     fsn16 = fsn.replace(compute_dtype="bfloat16")
     _emit(
         "fullsubnet_enhance_utterances_per_sec_per_chip",
-        _bench_enhance(fsn, FSN_ENHANCE_BATCH, rng),
+        lambda: _bench_enhance(fsn, FSN_ENHANCE_BATCH, rng),
         BASELINES["fullsubnet"]["enhance"],
     )
     _emit(
         "fullsubnet_enhance_bf16_utterances_per_sec_per_chip",
-        _bench_enhance(fsn16, FSN_ENHANCE_BATCH, rng),
+        lambda: _bench_enhance(fsn16, FSN_ENHANCE_BATCH, rng),
         BASELINES["fullsubnet"]["enhance"],
     )
     _emit(
         "fullsubnet_train_utterances_per_sec_per_chip",
-        _bench_train(fsn, FSN_TRAIN_BATCH, key, rng),
+        lambda: _bench_train(fsn, FSN_TRAIN_BATCH, key, rng),
         BASELINES["fullsubnet"]["train"],
     )
     _emit(
         "fullsubnet_train_bf16_utterances_per_sec_per_chip",
-        _bench_train(fsn16, FSN_TRAIN_BATCH, key, rng),
+        lambda: _bench_train(fsn16, FSN_TRAIN_BATCH, key, rng),
         BASELINES["fullsubnet"]["train"],
     )
 
@@ -168,22 +189,22 @@ def main():
     # series never silently changes (BASELINE.md)
     _emit(
         "dccrn_enhance_utterances_per_sec_per_chip",
-        _bench_enhance(dccrn, DCCRN_ENHANCE_BATCH_F32, rng),
+        lambda: _bench_enhance(dccrn, DCCRN_ENHANCE_BATCH_F32, rng),
         BASELINES["dccrn"]["enhance"],
     )
     _emit(
         "dccrn_enhance_bf16_utterances_per_sec_per_chip",
-        _bench_enhance(dccrn16, DCCRN_ENHANCE_BATCH_BF16, rng),
+        lambda: _bench_enhance(dccrn16, DCCRN_ENHANCE_BATCH_BF16, rng),
         BASELINES["dccrn"]["enhance"],
     )
     _emit(
         "dccrn_train_utterances_per_sec_per_chip",
-        _bench_train(dccrn, DCCRN_TRAIN_BATCH_F32, key, rng),
+        lambda: _bench_train(dccrn, DCCRN_TRAIN_BATCH_F32, key, rng),
         BASELINES["dccrn"]["train"],
     )
     _emit(
         "dccrn_train_bf16_utterances_per_sec_per_chip",
-        _bench_train(dccrn16, DCCRN_TRAIN_BATCH_BF16, key, rng),
+        lambda: _bench_train(dccrn16, DCCRN_TRAIN_BATCH_BF16, key, rng),
         BASELINES["dccrn"]["train"],
     )
 

@@ -192,13 +192,14 @@ class Config:
     # convs (se_tpu/ops/pallas_conv.py). Off by default.
     use_pallas_conv: bool = False
 
-    # Run LSTM recurrences as the fused VMEM-resident Pallas cell
-    # (se_tpu/ops/pallas_lstm.py): the whole scan is one kernel with the
-    # carry and recurrent weights resident in VMEM, and only (ys, cs) is
-    # stashed for the backward — measured 4.6x faster than the lax.scan
-    # cell on v5e (docs/PERF.md round-3).  Also the memory-lean path that
+    # Run LSTM and GRU recurrences as the fused VMEM-resident Pallas
+    # cells (se_tpu/ops/pallas_lstm.py): the whole scan is one kernel
+    # with the carry and recurrent weights resident in VMEM, and only
+    # the backward-needed state sequence is stashed — measured 4.6x
+    # faster than the lax.scan LSTM cell on v5e, 2.4x for the GRU
+    # variant (docs/PERF.md round-3).  Also the memory-lean path that
     # lets FullSubNet's B*257-row sub-band model train at real batch
-    # sizes (the hoisted x_proj OOMs otherwise).
+    # sizes (the hoisted x_proj OOMs otherwise, for both cell types).
     # "auto" (default): on for single-chip TPU execution; the lax.scan
     # cell elsewhere (CPU runs the kernel only in slow interpret mode,
     # and multi-chip SPMD partitioning of pallas_call needs shard_map).
