@@ -32,6 +32,7 @@ BASELINES = {
     "dccrn": {"train": 0.155, "enhance": 0.737},
     "crn": {"train": 1.300, "enhance": 3.797},
     "fullsubnet": {"train": 0.153, "enhance": 0.541},
+    "fullsubnet_gru": {"train": 0.183, "enhance": 0.541},
 }
 
 DCCRN_TRAIN_BATCH_F32 = 112      # f32 single-chip ceiling (docs/PERF.md)
@@ -179,6 +180,23 @@ def main():
         "fullsubnet_train_bf16_utterances_per_sec_per_chip",
         lambda: _bench_train(fsn16, FSN_TRAIN_BATCH, key, rng),
         BASELINES["fullsubnet"]["train"],
+    )
+
+    # -- FullSubNet GRU variant (fused Pallas GRU cell; the scan lowering
+    #    fails to compile at these batches — docs/PERF.md round-3) --------
+    fsn_gru16 = Config(
+        model="FullSubNet", loss="MSE", sequence_model="GRU",
+        compute_dtype="bfloat16",
+    )
+    _emit(
+        "fullsubnet_gru_enhance_bf16_utterances_per_sec_per_chip",
+        lambda: _bench_enhance(fsn_gru16, FSN_ENHANCE_BATCH, rng),
+        BASELINES["fullsubnet_gru"]["enhance"],
+    )
+    _emit(
+        "fullsubnet_gru_train_bf16_utterances_per_sec_per_chip",
+        lambda: _bench_train(fsn_gru16, FSN_TRAIN_BATCH, key, rng),
+        BASELINES["fullsubnet_gru"]["train"],
     )
 
     # -- DCCRN flagship (complex LSTM, E-mask, SDR) ------------------------

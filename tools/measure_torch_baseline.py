@@ -126,7 +126,7 @@ def main_crn():
     _time_steps(step, lambda: model(x), B)
 
 
-def main_fullsubnet():
+def main_fullsubnet(sequence_model: str = "LSTM"):
     """Reference FullSubNet (cIRM target, MSE — trainer.py:85-118) on
     this host's CPU.  B=2: the sub-band stage batches B*257 sequences,
     far heavier per utterance than DCCRN/CRN on one CPU core."""
@@ -134,7 +134,7 @@ def main_fullsubnet():
 
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count() or 1)
-    model = OracleFullSubNet()
+    model = OracleFullSubNet(sequence_model=sequence_model)
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     B, L = 2, 48000
     x = torch.randn(B, L) * 0.1
@@ -170,5 +170,7 @@ if __name__ == "__main__":
         main_crn()
     elif which == "fullsubnet":
         main_fullsubnet()
+    elif which == "fullsubnet-gru":
+        main_fullsubnet("GRU")
     else:
         main()
