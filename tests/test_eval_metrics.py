@@ -88,6 +88,27 @@ def test_stoi_resampler_matches_octave_window(rng):
     np.testing.assert_allclose(mine, ref, atol=1e-14)
 
 
+def test_estoi_numerical_parity_vs_pystoi_restatement(rng):
+    """extended=True (ESTOI) against the pystoi restatement.  pystoi adds
+    ``standard_normal * eps`` dither inside its row/column normalisation;
+    at eps ~2.2e-16 its effect on the score is below 1e-12, so the
+    deterministic implementation pins to 1e-9."""
+    from tests.oracles.pystoi_ref import stoi as ref_stoi
+
+    x = _speechlike(rng)
+    for snr_db in (15, 0, -5):
+        noise = rng.standard_normal(len(x))
+        noise *= np.sqrt(
+            np.mean(x**2) / np.mean(noise**2) * 10 ** (-snr_db / 10)
+        )
+        y = x + noise
+        np.testing.assert_allclose(
+            stoi(x, y, 16000, extended=True),
+            ref_stoi(x, y, 16000, extended=True),
+            atol=1e-9,
+        )
+
+
 def test_stoi_degenerate_inputs_match_pystoi_guard(rng):
     """Short or mostly-silent signals must return pystoi's 1e-5 guard
     value (fewer than N=30 STFT frames after silence removal), never
