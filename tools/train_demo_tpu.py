@@ -6,7 +6,7 @@ smoke of the complete stack (train step, metrics, native PESQ) at
 production size.
 
 Run: python tools/train_demo_tpu.py [n_steps] [compute_dtype] [model]
-model: DCCRN (default) | CRN | FullSubNet
+model: DCCRN (default) | CRN | FullSubNet | FullSubNetGRU
 """
 
 import sys
@@ -34,7 +34,7 @@ def main():
     from se_tpu.eval.stoi import stoi
     from tools.pesq_oracle_battery import speechlike
 
-    B, L = (16, 48000) if model_name == "FullSubNet" else (40, 48000)
+    B, L = (16, 48000) if model_name.startswith("FullSubNet") else (40, 48000)
 
     _cache = {}
 
@@ -52,10 +52,12 @@ def main():
             )
         return _cache[seed]
 
-    if model_name == "FullSubNet":
+    if model_name.startswith("FullSubNet"):
         # the reference trains FullSubNet on the compressed-cIRM MSE
-        cfg = Config(model="FullSubNet", loss="MSE",
-                     compute_dtype=compute_dtype)
+        cfg = Config(
+            model="FullSubNet", loss="MSE", compute_dtype=compute_dtype,
+            sequence_model="GRU" if model_name.endswith("GRU") else "LSTM",
+        )
     elif model_name == "CRN":
         cfg = Config(model="CRN", lstm="real", loss="SI-SNR",
                      compute_dtype=compute_dtype)
