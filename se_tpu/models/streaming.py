@@ -1,9 +1,10 @@
-"""Streaming (frame-by-frame) DCCRN inference.
+"""Streaming (chunk-vectorized) DCCRN inference.
 
 The reference handles "online" processing only algorithmically (causal
 convs, FullSubNet cumulative norms); there is no streaming executor
 (SURVEY.md section 5).  This module is the idiomatic JAX expression of
-that capability for DCCRN: a ``lax.scan`` over STFT frames carrying
+that capability for DCCRN: a chunk-vectorized forward (only the LSTM
+scans; convs and masking process the chunk's frames at once) carrying
 
 * one previous-frame cache per causal encoder conv (time kernel 2),
 * the complex-LSTM hidden/cell states,
@@ -28,7 +29,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from .dccrn import DCCRN
 from .layers import complex_cat
@@ -36,7 +36,7 @@ from ..dsp import conv_istft
 
 
 class StreamingDCCRN(DCCRN):
-    """Frame-streaming forward; parameters identical to DCCRN."""
+    """Chunk-streaming forward; parameters identical to DCCRN."""
 
     @property
     def n_stages(self) -> int:
@@ -108,6 +108,15 @@ class StreamingDCCRN(DCCRN):
     def __call__(self, inputs: jnp.ndarray, state: Optional[dict] = None):
         """Streaming forward over a waveform chunk.
 
+        Chunk-vectorized: only the LSTM bottleneck is inherently
+        sequential, so the encoder convs, decoder transposed convs and the
+        masking process all of the chunk's frames at once — the carried
+        caches (one previous frame per causal encoder conv, one pending
+        frame per decoder stage, i-frame skip delays, an n_stages spectrum
+        delay) make each the exact sequence-form of the per-frame pipeline
+        this replaces (round-3: the per-frame ``lax.scan`` over the whole
+        model was dispatch-bound; see docs/PERF.md streaming section).
+
         Args:
           inputs: [B, L] waveform chunk.
           state: stream state from the previous chunk (None = fresh).
@@ -134,126 +143,123 @@ class StreamingDCCRN(DCCRN):
             "btn,nf->bft", frames, self.stft_kernels.fwd,
             precision=jax.lax.Precision.HIGHEST,
         )
-        state = dict(state, tail=sig[:, -(self.win_len - self.win_inc):])
+        tail = sig[:, -(self.win_len - self.win_inc):]
         dim = self.fft_len // 2 + 1
+        T = specs.shape[-1]
 
-        def step(st, spec_t):
-            real = spec_t[:, :dim]
-            imag = spec_t[:, dim:]
-            x = jnp.stack([real, imag], 1)[:, :, 1:, None]  # [B, 2, F, 1]
+        real = specs[:, :dim]
+        imag = specs[:, dim:]
+        x = jnp.stack([real, imag], 1)[:, :, 1:, :]  # [B, 2, F, T]
 
-            enc_prev = list(st["enc_prev"])
-            out = x
-            skips = []
-            for i, (conv, bn, act) in enumerate(
-                zip(self.encoder, self.encoder_bn, self.encoder_act)
-            ):
-                # causal time kernel 2: feed (prev, cur), keep last column
-                inp2 = jnp.concatenate([enc_prev[i], out], axis=-1)
-                enc_prev[i] = out
-                y = conv(inp2)[..., -1:]
-                y = act(bn(y, train=False))
-                out = y
-                skips.append(y)
+        # -- encoder: whole chunk per stage; cache = last input frame ----
+        enc_prev = list(state["enc_prev"])
+        out = x
+        skips = []
+        for i, (conv, bn, act) in enumerate(
+            zip(self.encoder, self.encoder_bn, self.encoder_act)
+        ):
+            # causal time kernel 2 + internal left pad: prepend the cached
+            # frame and drop the pad-born first column -> T causal outputs
+            inp = jnp.concatenate([enc_prev[i], out], axis=-1)
+            enc_prev[i] = out[..., -1:]
+            y = conv(inp)[..., -T:]
+            y = act(bn(y, train=False))
+            out = y
+            skips.append(y)
 
-            # bottleneck RNN, one timestep with carried state
-            Bc, C, D, _ = out.shape
-            lstm_states = list(st["lstm"])
-            if c.lstm == "complex":
-                xr = out[:, : C // 2, :, 0].reshape(Bc, -1)[None]
-                xi = out[:, C // 2 :, :, 0].reshape(Bc, -1)[None]
-                for li, rnn in enumerate(self.enhance):
-                    (xr, xi), lstm_states[li] = rnn(
-                        [xr, xi], state=lstm_states[li], return_state=True
-                    )
-                xr = xr[0].reshape(Bc, C // 2, D, 1)
-                xi = xi[0].reshape(Bc, C // 2, D, 1)
-                cur = jnp.concatenate([xr, xi], axis=1)
-            else:
-                # real-LSTM bottleneck (reference models.py:96-105):
-                # flatten [C, D], 2-layer LSTM + Linear, one timestep
-                x1 = out[..., 0].reshape(Bc, C * D)[None]
-                y, lstm_states = self.enhance_lstm(
-                    x1, state=lstm_states, return_state=True
+        # -- bottleneck RNN: the only sequential part -------------------
+        Bc, C, D, _ = out.shape
+        lstm_states = list(state["lstm"])
+        seq = jnp.transpose(out, (3, 0, 1, 2))  # [T, B, C, D]
+        if c.lstm == "complex":
+            xr = seq[:, :, : C // 2].reshape(T, Bc, -1)
+            xi = seq[:, :, C // 2 :].reshape(T, Bc, -1)
+            for li, rnn in enumerate(self.enhance):
+                (xr, xi), lstm_states[li] = rnn(
+                    [xr, xi], state=lstm_states[li], return_state=True
                 )
-                y = self.tranform(y)
-                cur = y[0].reshape(Bc, C, D, 1)
-
-            # decoder pipeline: stage i emits frame t-1 of its own timeline
-            dec_prev = list(st["dec_prev"])
-            skip_buf = list(st["skip_buf"])
-            for i in range(n_stage):
-                skip = skips[n_stage - 1 - i]
-                if i == 0:
-                    delayed_skip = skip
-                else:
-                    delayed_skip = skip_buf[i][..., 0:1]
-                    skip_buf[i] = jnp.concatenate(
-                        [skip_buf[i][..., 1:], skip], axis=-1
-                    )
-                d_in = (
-                    complex_cat([cur, delayed_skip], 1)
-                    if c.skip_type
-                    else cur
-                )
-                inp2 = jnp.concatenate([dec_prev[i], d_in], axis=-1)
-                dec_prev[i] = d_in
-                # transposed conv over 2 frames -> 3 columns; column 1 is
-                # the reference's trimmed output for the earlier frame
-                y = self.decoder[i](inp2)[..., 1:2]
-                if self.decoder_bn[i] is not None:
-                    y = self.decoder_act[i](self.decoder_bn[i](y, train=False))
-                cur = y
-
-            # mask the spectrum frame from n_stage steps ago
-            spec_buf = jnp.concatenate(
-                [st["spec_buf"][..., 1:], spec_t[..., None]], axis=-1
+            xr = xr.reshape(T, Bc, C // 2, D)
+            xi = xi.reshape(T, Bc, C // 2, D)
+            cur = jnp.concatenate([xr, xi], axis=2)
+        else:
+            # real-LSTM bottleneck (reference models.py:96-105)
+            x1 = seq.reshape(T, Bc, C * D)
+            y, lstm_states = self.enhance_lstm(
+                x1, state=lstm_states, return_state=True
             )
-            old_spec = spec_buf[..., 0]
-            o_real = old_spec[:, :dim]
-            o_imag = old_spec[:, dim:]
-            mags = jnp.sqrt(o_real**2 + o_imag**2 + 1e-8)
-            phase = jnp.arctan2(o_imag, o_real)
+            y = self.tranform(y)
+            cur = y.reshape(T, Bc, C, D)
+        cur = jnp.transpose(cur, (1, 2, 3, 0))  # [B, C, D, T]
 
-            mask_real = jnp.pad(cur[:, 0, :, 0], ((0, 0), (1, 0)))
-            mask_imag = jnp.pad(cur[:, 1, :, 0], ((0, 0), (1, 0)))
-            if self.masking_mode == "E":
-                mask_mags = (mask_real**2 + mask_imag**2) ** 0.5
-                rp = mask_real / (mask_mags + 1e-8)
-                ip = mask_imag / (mask_mags + 1e-8)
-                mask_phase = jnp.arctan2(ip, rp)
-                est_mags = jnp.tanh(mask_mags) * mags
-                est_phase = phase + mask_phase
-                out_real = est_mags * jnp.cos(est_phase)
-                out_imag = est_mags * jnp.sin(est_phase)
-            elif self.masking_mode == "C":
-                out_real = o_real * mask_real - o_imag * mask_imag
-                out_imag = o_real * mask_imag + o_imag * mask_real
-            elif self.masking_mode == "R":
-                out_real = o_real * mask_real
-                out_imag = o_imag * mask_imag
+        # -- decoder: whole chunk per stage ------------------------------
+        # stage i consumes one future frame (the reference trims the first
+        # transposed-conv output, models.py:226): with the cached pending
+        # frame prepended, output columns 1..T are exactly the per-frame
+        # pipeline's emissions; the skip for stage i is delayed i frames
+        # through skip_buf.
+        dec_prev = list(state["dec_prev"])
+        skip_buf = list(state["skip_buf"])
+        for i in range(n_stage):
+            skip = skips[n_stage - 1 - i]
+            if i == 0:
+                delayed_skip = skip
             else:
-                raise ValueError(
-                    f"streaming supports E/C/R masks, got {self.masking_mode!r}"
-                )
-            out_spec = jnp.concatenate([out_real, out_imag], axis=1)
+                cat = jnp.concatenate([skip_buf[i], skip], axis=-1)
+                delayed_skip = cat[..., :T]
+                skip_buf[i] = cat[..., -i:]
+            d_in = (
+                complex_cat([cur, delayed_skip], 1)
+                if c.skip_type
+                else cur
+            )
+            inp = jnp.concatenate([dec_prev[i], d_in], axis=-1)  # T+1 cols
+            dec_prev[i] = d_in[..., -1:]
+            y = self.decoder[i](inp)[..., 1 : T + 1]
+            if self.decoder_bn[i] is not None:
+                y = self.decoder_act[i](self.decoder_bn[i](y, train=False))
+            cur = y
 
-            new_st = {
-                "enc_prev": enc_prev,
-                "dec_prev": dec_prev,
-                "skip_buf": skip_buf,
-                "spec_buf": spec_buf,
-                "lstm": tuple(lstm_states),
-            }
-            return new_st, out_spec
+        # -- mask the spectrum frames from n_stage steps ago -------------
+        cat = jnp.concatenate([state["spec_buf"], specs], axis=-1)
+        old_spec = cat[..., 1 : T + 1]
+        spec_buf = cat[..., -(n_stage + 1):]
+        o_real = old_spec[:, :dim]
+        o_imag = old_spec[:, dim:]
+        mags = jnp.sqrt(o_real**2 + o_imag**2 + 1e-8)
+        phase = jnp.arctan2(o_imag, o_real)
 
-        tail = state["tail"]
-        scan_state = {k: v for k, v in state.items() if k != "tail"}
-        scan_state, out_specs = lax.scan(
-            step, scan_state, jnp.moveaxis(specs, -1, 0)
-        )
-        out_specs = jnp.moveaxis(out_specs, 0, -1)  # [B, F2, T]
-        return out_specs, dict(scan_state, tail=tail)
+        mask_real = jnp.pad(cur[:, 0], ((0, 0), (1, 0), (0, 0)))
+        mask_imag = jnp.pad(cur[:, 1], ((0, 0), (1, 0), (0, 0)))
+        if self.masking_mode == "E":
+            mask_mags = (mask_real**2 + mask_imag**2) ** 0.5
+            rp = mask_real / (mask_mags + 1e-8)
+            ip = mask_imag / (mask_mags + 1e-8)
+            mask_phase = jnp.arctan2(ip, rp)
+            est_mags = jnp.tanh(mask_mags) * mags
+            est_phase = phase + mask_phase
+            out_real = est_mags * jnp.cos(est_phase)
+            out_imag = est_mags * jnp.sin(est_phase)
+        elif self.masking_mode == "C":
+            out_real = o_real * mask_real - o_imag * mask_imag
+            out_imag = o_real * mask_imag + o_imag * mask_real
+        elif self.masking_mode == "R":
+            out_real = o_real * mask_real
+            out_imag = o_imag * mask_imag
+        else:
+            raise ValueError(
+                f"streaming supports E/C/R masks, got {self.masking_mode!r}"
+            )
+        out_specs = jnp.concatenate([out_real, out_imag], axis=1)
+
+        new_state = {
+            "enc_prev": enc_prev,
+            "dec_prev": dec_prev,
+            "skip_buf": skip_buf,
+            "spec_buf": spec_buf,
+            "lstm": tuple(lstm_states),
+            "tail": tail,
+        }
+        return out_specs, new_state
 
     def synthesize(self, out_specs: jnp.ndarray) -> jnp.ndarray:
         """OLA synthesis of collected enhanced spectrum frames."""

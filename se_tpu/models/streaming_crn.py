@@ -1,4 +1,4 @@
-"""Streaming (frame-by-frame) CRN inference.
+"""Streaming (chunk-vectorized) CRN inference.
 
 The real-valued counterpart of ``StreamingDCCRN`` (see
 se_tpu/models/streaming.py for the pipeline design): causal encoder conv
@@ -17,14 +17,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from .crn import CRN
 from ..dsp import conv_istft
 
 
 class StreamingCRN(CRN):
-    """Frame-streaming forward; parameters identical to CRN."""
+    """Chunk-streaming forward; parameters identical to CRN."""
 
     @property
     def n_stages(self) -> int:
@@ -77,7 +76,12 @@ class StreamingCRN(CRN):
 
     def __call__(self, inputs: jnp.ndarray, state: Optional[dict] = None):
         """[B, L] waveform chunk -> ([B, fft_len+2, T] enhanced spectrum
-        frames (n_stages-frame latency), new state)."""
+        frames (n_stages-frame latency), new state).
+
+        Chunk-vectorized like ``StreamingDCCRN``: only the LSTM is
+        sequential; encoder/decoder convs and the magnitude masking
+        process the chunk's T frames at once, with the carried caches
+        providing exactness vs the per-frame pipeline."""
         c = self.cfg
         n_stage = self.n_stages
         B = inputs.shape[0]
@@ -94,89 +98,81 @@ class StreamingCRN(CRN):
         )
         tail = sig[:, -(self.win_len - self.win_inc):]
         dim = self.fft_len // 2 + 1
+        T = specs.shape[-1]
 
-        def step(st, spec_t):
-            real = spec_t[:, :dim]
-            imag = spec_t[:, dim:]
-            mags_t = jnp.sqrt(real**2 + imag**2)
-            x = mags_t[:, None, 1:, None]  # [B, 1, F, 1]
+        real = specs[:, :dim]
+        imag = specs[:, dim:]
+        mags_t = jnp.sqrt(real**2 + imag**2)
+        x = mags_t[:, None, 1:, :]  # [B, 1, F, T]
 
-            enc_prev = list(st["enc_prev"])
-            out = x
-            skips = []
-            for i, (conv, bn, act) in enumerate(
-                zip(self.encoder, self.encoder_bn, self.encoder_act)
-            ):
-                inp2 = jnp.concatenate([enc_prev[i], out], axis=-1)
-                enc_prev[i] = out
-                y = conv(inp2)[..., -1:]
-                y = act(bn(y, train=False))
-                out = y
-                skips.append(y)
+        enc_prev = list(state["enc_prev"])
+        out = x
+        skips = []
+        for i, (conv, bn, act) in enumerate(
+            zip(self.encoder, self.encoder_bn, self.encoder_act)
+        ):
+            inp = jnp.concatenate([enc_prev[i], out], axis=-1)
+            enc_prev[i] = out[..., -1:]
+            y = conv(inp)[..., -T:]
+            y = act(bn(y, train=False))
+            out = y
+            skips.append(y)
 
-            Bc, C, D, _ = out.shape
-            xr = out[:, :, :, 0].reshape(Bc, C * D)[None]  # [1, B, CD]
-            lstm_states = list(st["lstm"])
-            xr, lstm_states = self.enhance_lstm(
-                xr, state=lstm_states, return_state=True
-            )
-            xr = self.tranform(xr)
-            cur = xr[0].reshape(Bc, C, D, 1)
-
-            dec_prev = list(st["dec_prev"])
-            skip_buf = list(st["skip_buf"])
-            for i in range(n_stage):
-                skip = skips[n_stage - 1 - i]
-                if i == 0:
-                    delayed_skip = skip
-                else:
-                    delayed_skip = skip_buf[i][..., 0:1]
-                    skip_buf[i] = jnp.concatenate(
-                        [skip_buf[i][..., 1:], skip], axis=-1
-                    )
-                d_in = (
-                    jnp.concatenate([cur, delayed_skip], axis=1)
-                    if c.skip_type
-                    else cur
-                )
-                inp2 = jnp.concatenate([dec_prev[i], d_in], axis=-1)
-                dec_prev[i] = d_in
-                y = self.decoder[i](inp2)[..., 1:2]
-                if self.decoder_bn[i] is not None:
-                    y = self.decoder_act[i](self.decoder_bn[i](y, train=False))
-                cur = y
-
-            spec_buf = jnp.concatenate(
-                [st["spec_buf"][..., 1:], spec_t[..., None]], axis=-1
-            )
-            old_spec = spec_buf[..., 0]
-            o_real = old_spec[:, :dim]
-            o_imag = old_spec[:, dim:]
-            mags = jnp.sqrt(o_real**2 + o_imag**2)
-            phase = jnp.arctan2(o_imag, o_real)
-
-            out_mag = jnp.pad(cur[:, 0, :, 0], ((0, 0), (1, 0)))
-            mask_mags = jnp.tanh(out_mag)
-            est_mags = mask_mags * mags
-            out_real = est_mags * jnp.cos(phase)
-            out_imag = est_mags * jnp.sin(phase)
-            out_spec = jnp.concatenate([out_real, out_imag], axis=1)
-
-            new_st = {
-                "enc_prev": enc_prev,
-                "dec_prev": dec_prev,
-                "skip_buf": skip_buf,
-                "spec_buf": spec_buf,
-                "lstm": tuple(lstm_states),
-            }
-            return new_st, out_spec
-
-        scan_state = {k: v for k, v in state.items() if k != "tail"}
-        scan_state, out_specs = lax.scan(
-            step, scan_state, jnp.moveaxis(specs, -1, 0)
+        Bc, C, D, _ = out.shape
+        lstm_states = list(state["lstm"])
+        seq = jnp.transpose(out, (3, 0, 1, 2)).reshape(T, Bc, C * D)
+        y, lstm_states = self.enhance_lstm(
+            seq, state=lstm_states, return_state=True
         )
-        out_specs = jnp.moveaxis(out_specs, 0, -1)
-        return out_specs, dict(scan_state, tail=tail)
+        y = self.tranform(y)
+        cur = jnp.transpose(y.reshape(T, Bc, C, D), (1, 2, 3, 0))
+
+        dec_prev = list(state["dec_prev"])
+        skip_buf = list(state["skip_buf"])
+        for i in range(n_stage):
+            skip = skips[n_stage - 1 - i]
+            if i == 0:
+                delayed_skip = skip
+            else:
+                cat = jnp.concatenate([skip_buf[i], skip], axis=-1)
+                delayed_skip = cat[..., :T]
+                skip_buf[i] = cat[..., -i:]
+            d_in = (
+                jnp.concatenate([cur, delayed_skip], axis=1)
+                if c.skip_type
+                else cur
+            )
+            inp = jnp.concatenate([dec_prev[i], d_in], axis=-1)
+            dec_prev[i] = d_in[..., -1:]
+            y = self.decoder[i](inp)[..., 1 : T + 1]
+            if self.decoder_bn[i] is not None:
+                y = self.decoder_act[i](self.decoder_bn[i](y, train=False))
+            cur = y
+
+        cat = jnp.concatenate([state["spec_buf"], specs], axis=-1)
+        old_spec = cat[..., 1 : T + 1]
+        spec_buf = cat[..., -(n_stage + 1):]
+        o_real = old_spec[:, :dim]
+        o_imag = old_spec[:, dim:]
+        mags = jnp.sqrt(o_real**2 + o_imag**2)
+        phase = jnp.arctan2(o_imag, o_real)
+
+        out_mag = jnp.pad(cur[:, 0], ((0, 0), (1, 0), (0, 0)))
+        mask_mags = jnp.tanh(out_mag)
+        est_mags = mask_mags * mags
+        out_real = est_mags * jnp.cos(phase)
+        out_imag = est_mags * jnp.sin(phase)
+        out_specs = jnp.concatenate([out_real, out_imag], axis=1)
+
+        new_state = {
+            "enc_prev": enc_prev,
+            "dec_prev": dec_prev,
+            "skip_buf": skip_buf,
+            "spec_buf": spec_buf,
+            "lstm": tuple(lstm_states),
+            "tail": tail,
+        }
+        return out_specs, new_state
 
     def synthesize(self, out_specs: jnp.ndarray) -> jnp.ndarray:
         wav = conv_istft(out_specs, self.stft_kernels)[:, 0]

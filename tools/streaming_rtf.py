@@ -77,18 +77,34 @@ def main():
         step = jax.jit(partial(stream.apply, method="enhance_chunk"))
         ana = StreamingStft(s.fft_len, hop, s.win_len)
 
-        def make_chunk():
-            return jnp.asarray(
+        # pre-generated input pool: host-side RNG synthesis must not be
+        # timed as part of the chunk step on this 1-core host
+        pool = [
+            jnp.asarray(
                 (rng.standard_normal((B, chunk)) * 0.1).astype(np.float32)
             )
+            for _ in range(4)
+        ]
+        n_call = 0
+
+        def make_chunk():
+            nonlocal n_call
+            n_call += 1
+            return pool[n_call % len(pool)]
 
         astate = mstate = None
+        last = None
 
-        def run_chunk():
-            nonlocal astate, mstate
+        def run_chunk(fetch=True):
+            nonlocal astate, mstate, last
             frames, astate = ana.push(make_chunk(), astate)
             e, mstate = step(variables, frames, mstate)
-            float(jnp.real(e[0, 0, -1]))  # host fetch = samples shipped
+            last = e
+            if fetch:
+                float(jnp.real(e[0, 0, -1]))  # host fetch = samples shipped
+
+        def fetch_last():
+            float(jnp.real(last[0, 0, -1]))
 
         # prime the analysis buffer so every measured push yields frames
         run_chunk()
@@ -107,14 +123,25 @@ def main():
         step = jax.jit(stream.apply)
 
         state = None
-
-        def run_chunk():
-            nonlocal state
-            seg = jnp.asarray(
+        last = None
+        pool = [
+            jnp.asarray(
                 (rng.standard_normal((B, chunk)) * 0.1).astype(np.float32)
             )
-            spec, state = step(variables, seg, state)
-            float(spec[0, 0, -1])
+            for _ in range(4)
+        ]
+        n_call = 0
+
+        def run_chunk(fetch=True):
+            nonlocal state, last, n_call
+            n_call += 1
+            spec, state = step(variables, pool[n_call % len(pool)], state)
+            last = spec
+            if fetch:
+                float(spec[0, 0, -1])
+
+        def fetch_last():
+            float(last[0, 0, -1])
 
     for _ in range(n_warm):
         run_chunk()
@@ -124,15 +151,31 @@ def main():
         run_chunk()
         lat.append((time.perf_counter() - t0) * 1e3)
     lat = np.asarray(lat)
+    # pipelined device time: dispatch a window of steps, fetch once — this
+    # removes the tunnel round-trip that dominates the per-step latency
+    # above (a locally attached chip would see ~this per chunk); best of 3
+    # windows because the tunnel occasionally stalls a whole window
+    dev = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(20):
+            run_chunk(fetch=False)
+        fetch_last()
+        dev.append((time.perf_counter() - t0) / 20 * 1e3)
+    dev_ms = min(dev)
     chunk_dur_ms = chunk / fs * 1e3
     rtf = chunk_dur_ms / lat.mean()
+    dev_rtf = chunk_dur_ms / dev_ms
     print(
         f"{model_name} {dtype} B={B} chunk={chunk} samples "
         f"({chunk_dur_ms:.0f} ms)\n"
         f"per-chunk latency mean {lat.mean():.2f} ms | p50 "
-        f"{np.percentile(lat, 50):.2f} | p95 {np.percentile(lat, 95):.2f}\n"
+        f"{np.percentile(lat, 50):.2f} | p95 {np.percentile(lat, 95):.2f} "
+        f"(includes the axon tunnel round-trip)\n"
         f"real-time factor {rtf:.1f}x -> ~{int(B * rtf)} concurrent "
-        f"real-time streams/chip at this batch"
+        f"real-time streams/chip at this batch (tunnel-bound)\n"
+        f"device time {dev_ms:.2f} ms/chunk -> device-side capacity "
+        f"~{int(B * dev_rtf)} streams/chip (locally attached bound)"
     )
 
 
