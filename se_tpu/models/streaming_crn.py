@@ -99,6 +99,11 @@ class StreamingCRN(CRN):
         tail = sig[:, -(self.win_len - self.win_inc):]
         dim = self.fft_len // 2 + 1
         T = specs.shape[-1]
+        if T == 0:
+            # chunk too short to complete a frame: samples are absorbed
+            # into the tail, nothing else advances (static shape -> this
+            # branch resolves at trace time)
+            return specs, dict(state, tail=tail)
 
         real = specs[:, :dim]
         imag = specs[:, dim:]

@@ -80,6 +80,36 @@ def test_streaming_chunk_invariance():
     )
 
 
+def test_streaming_sub_frame_chunk_emits_nothing():
+    """A pushed chunk too short to complete a new STFT frame (e.g. a
+    final sub-hop remainder) must emit zero frames and keep the stream
+    usable — the chunk-vectorized form's T=0 trace path (round-3 review
+    regression: `[..., -0:]` slicing kept the whole axis and crashed)."""
+    from se_tpu.models.streaming_crn import StreamingCRN
+
+    rng = np.random.default_rng(11)
+    for model_name, cls in (("DCCRN", StreamingDCCRN), ("CRN", StreamingCRN)):
+        kw = {"lstm": "real", "loss": "MSE"} if model_name == "CRN" else {}
+        cfg = small_cfg(model=model_name, masking_mode="E", **kw)
+        model = cls(cfg)
+        variables = init_model(cfg, build_model(cfg), batch=1, seconds=1)
+        wav = jnp.asarray(
+            (rng.standard_normal((1, 1000)) * 0.1).astype(np.float32)
+        )
+        spec, state = model.apply(variables, wav, method="__call__")
+        assert spec.shape[-1] == 1000 // cfg.stft.win_inc
+        # sub-hop push: absorbed into the tail, nothing emitted
+        tiny = jnp.asarray(
+            (rng.standard_normal((1, 10)) * 0.1).astype(np.float32)
+        )
+        spec0, state = model.apply(variables, tiny, state, method="__call__")
+        assert spec0.shape[-1] == 0
+        # the stream continues producing well-formed frames afterwards
+        spec2, _ = model.apply(variables, wav, state, method="__call__")
+        assert spec2.shape[-1] == (10 + 1000) // cfg.stft.win_inc
+        assert np.isfinite(np.asarray(spec2)).all()
+
+
 def test_streaming_synthesize_shape():
     cfg = small_cfg(model="DCCRN")
     stream_model = StreamingDCCRN(cfg)

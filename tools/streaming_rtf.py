@@ -59,6 +59,31 @@ def main():
     n_warm, n_meas = 10, 50
     rng = np.random.default_rng(0)
 
+    def make_runner(step_chunk, fetch_value, pool_chunk):
+        """Shared chunk-runner scaffolding: a pre-generated input pool
+        (host-side RNG synthesis must not be timed on this 1-core host),
+        a run_chunk(fetch=) closure and a fetch_last for the pipelined
+        device-time window."""
+        pool = [
+            jnp.asarray(
+                (rng.standard_normal((B, pool_chunk)) * 0.1).astype(np.float32)
+            )
+            for _ in range(4)
+        ]
+        box = {"n": 0, "last": None}
+
+        def run_chunk(fetch=True):
+            box["n"] += 1
+            out = step_chunk(pool[box["n"] % len(pool)])
+            box["last"] = out
+            if fetch:
+                fetch_value(out)
+
+        def fetch_last():
+            fetch_value(box["last"])
+
+        return run_chunk, fetch_last
+
     if model_name == "FullSubNet":
         from functools import partial
 
@@ -77,35 +102,18 @@ def main():
         step = jax.jit(partial(stream.apply, method="enhance_chunk"))
         ana = StreamingStft(s.fft_len, hop, s.win_len)
 
-        # pre-generated input pool: host-side RNG synthesis must not be
-        # timed as part of the chunk step on this 1-core host
-        pool = [
-            jnp.asarray(
-                (rng.standard_normal((B, chunk)) * 0.1).astype(np.float32)
-            )
-            for _ in range(4)
-        ]
-        n_call = 0
+        st = {"a": None, "m": None}
 
-        def make_chunk():
-            nonlocal n_call
-            n_call += 1
-            return pool[n_call % len(pool)]
+        def step_chunk(seg):
+            frames, st["a"] = ana.push(seg, st["a"])
+            e, st["m"] = step(variables, frames, st["m"])
+            return e
 
-        astate = mstate = None
-        last = None
-
-        def run_chunk(fetch=True):
-            nonlocal astate, mstate, last
-            frames, astate = ana.push(make_chunk(), astate)
-            e, mstate = step(variables, frames, mstate)
-            last = e
-            if fetch:
-                float(jnp.real(e[0, 0, -1]))  # host fetch = samples shipped
-
-        def fetch_last():
-            float(jnp.real(last[0, 0, -1]))
-
+        run_chunk, fetch_last = make_runner(
+            step_chunk,
+            lambda e: float(jnp.real(e[0, 0, -1])),  # fetch = samples shipped
+            chunk,
+        )
         # prime the analysis buffer so every measured push yields frames
         run_chunk()
     else:
@@ -122,26 +130,15 @@ def main():
         chunk = max(1, chunk_ms * fs // 1000 // hop) * hop
         step = jax.jit(stream.apply)
 
-        state = None
-        last = None
-        pool = [
-            jnp.asarray(
-                (rng.standard_normal((B, chunk)) * 0.1).astype(np.float32)
-            )
-            for _ in range(4)
-        ]
-        n_call = 0
+        st = {"s": None}
 
-        def run_chunk(fetch=True):
-            nonlocal state, last, n_call
-            n_call += 1
-            spec, state = step(variables, pool[n_call % len(pool)], state)
-            last = spec
-            if fetch:
-                float(spec[0, 0, -1])
+        def step_chunk(seg):
+            spec, st["s"] = step(variables, seg, st["s"])
+            return spec
 
-        def fetch_last():
-            float(last[0, 0, -1])
+        run_chunk, fetch_last = make_runner(
+            step_chunk, lambda spec: float(spec[0, 0, -1]), chunk
+        )
 
     for _ in range(n_warm):
         run_chunk()
