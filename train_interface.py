@@ -40,6 +40,28 @@ def parse_args():
     p.add_argument("--chkpt", default="EPOCH", help="epoch number to resume from")
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel over all available devices")
+    p.add_argument(
+        "--compute-dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="activation dtype for the compute path (bfloat16 keeps f32 "
+        "params/optimizer/norm statistics; the TPU production setting — "
+        "docs/PERF.md)",
+    )
+    p.add_argument(
+        "--grad-accum", type=int, default=1,
+        help="sequential micro-batches per optimizer step (effective "
+        "batch = batch * grad_accum at ~constant HBM)",
+    )
+    p.add_argument(
+        "--pallas-lstm", default="auto", choices=["auto", "on", "off"],
+        help="fused Pallas recurrence cells (auto: on for single-chip "
+        "TPU execution)",
+    )
+    p.add_argument(
+        "--adam-mu-dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="storage dtype of Adam's first moment",
+    )
     return p.parse_args()
 
 
@@ -53,6 +75,8 @@ def main():
         sequence_model=args.sequence_model,
         masking_mode=args.masking_mode,
         skip_type=not args.no_skip,
+        compute_dtype=args.compute_dtype,
+        use_pallas_lstm=args.pallas_lstm,
         train=TrainConfig(
             max_epochs=args.max_epochs,
             learning_rate=args.learning_rate,
@@ -65,6 +89,8 @@ def main():
             chkpt=args.chkpt,
             train_data_path=args.train_data,
             valid_data_path=args.valid_data,
+            grad_accum=args.grad_accum,
+            adam_mu_dtype=args.adam_mu_dtype,
         ),
     )
     from se_tpu.train.loop import train
