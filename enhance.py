@@ -43,6 +43,12 @@ def main():
     )
     p.add_argument("--chunk-ms", type=int, default=100)
     p.add_argument(
+        "--compute-dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="activation dtype for the batch forward (bfloat16 is the "
+        "fast TPU path; streaming stays f32 — exactness contract)",
+    )
+    p.add_argument(
         "--fsn-norm",
         default=None,
         help="FullSubNet norm_type override (e.g. cumulative_laplace_norm "
@@ -65,9 +71,14 @@ def main():
         if args.fsn_norm
         else FullSubNetConfig()
     )
+    if args.streaming and args.compute_dtype != "float32":
+        raise SystemExit(
+            "--streaming runs f32 only (sample-exact vs the f32 batch "
+            "forward; latency is not FLOP-bound — docs/PERF.md)"
+        )
     cfg = Config(
         model=args.model, masking_mode=args.masking_mode, lstm=args.lstm,
-        fullsubnet=fsn,
+        fullsubnet=fsn, compute_dtype=args.compute_dtype,
     )
     model, state = create_train_state(cfg)
     state, _ = restore_checkpoint(args.checkpoint, state)
