@@ -11,6 +11,37 @@ import pytest
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 
+def test_train_interface_perf_flags_reach_config(monkeypatch):
+    """The TPU perf knobs (--compute-dtype/--grad-accum/--pallas-lstm/
+    --adam-mu-dtype) must land in the Config the trainer receives."""
+    import train_interface
+
+    captured = {}
+
+    def fake_train(cfg, use_mesh=False, **kw):
+        captured["cfg"] = cfg
+        captured["use_mesh"] = use_mesh
+
+    monkeypatch.setattr("se_tpu.train.loop.train", fake_train)
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "train_interface.py", "--model", "DCCRN",
+            "--train-data", "t.npy", "--valid-data", "v.npy",
+            "--compute-dtype", "bfloat16", "--grad-accum", "4",
+            "--pallas-lstm", "off", "--adam-mu-dtype", "bfloat16",
+            "--mesh",
+        ],
+    )
+    train_interface.main()
+    cfg = captured["cfg"]
+    assert cfg.compute_dtype == "bfloat16"
+    assert cfg.train.grad_accum == 4
+    assert cfg.use_pallas_lstm == "off"
+    assert cfg.train.adam_mu_dtype == "bfloat16"
+    assert captured["use_mesh"] is True
+
+
 def test_train_interface_cli(tmp_path):
     rng = np.random.default_rng(0)
     train = rng.standard_normal((4, 2, 16000)).astype(np.float32) * 0.05
