@@ -55,6 +55,34 @@ def test_union_of_hosts_equals_single_host_stream():
         np.testing.assert_array_equal(clean, global_batch[1])
 
 
+def test_mixing_dataset_under_multihost_matches_single_host():
+    """On-the-fly mixing composed with host sharding: every host draws
+    the same (seed, epoch, index)-keyed mixture for the rows it owns, so
+    the N-host union reproduces the single-host mixed stream exactly —
+    including across epochs (set_epoch must reach the dataset through
+    MultiHostLoader on every host)."""
+    from se_tpu.data import MixingDataset
+
+    rng = np.random.default_rng(5)
+    clean = [rng.standard_normal(800).astype(np.float32) for _ in range(12)]
+    noises = [rng.standard_normal(4000).astype(np.float32) for _ in range(3)]
+
+    def make(k, count):
+        return MultiHostLoader(
+            MixingDataset(clean, noises, snrs=[0, 5, 10], seed=7),
+            8, process_index=k, process_count=count, seed=7,
+        )
+
+    single = make(0, 1)
+    hosts = [make(k, 4) for k in range(4)]
+    for _epoch in range(2):
+        for global_batch, per_host in zip(single, zip(*hosts)):
+            noisy = np.concatenate([b[0] for b in per_host])
+            cln = np.concatenate([b[1] for b in per_host])
+            np.testing.assert_array_equal(noisy, global_batch[0])
+            np.testing.assert_array_equal(cln, global_batch[1])
+
+
 def test_shuffle_differs_across_epochs_but_agrees_across_hosts():
     data = _corpus()
     a = MultiHostLoader(
