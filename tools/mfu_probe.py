@@ -30,6 +30,8 @@ if model_name == "CRN":
     kw = dict(model="CRN", lstm="real", loss="MSE")
 elif model_name == "FullSubNet":
     kw = dict(model="FullSubNet", loss="MSE")
+elif model_name == "FullSubNetGRU":
+    kw = dict(model="FullSubNet", loss="MSE", sequence_model="GRU")
 if dtype == "bf16":
     kw["compute_dtype"] = "bfloat16"
 # Pallas kernel FLOPs are invisible to XLA cost_analysis; count on the
