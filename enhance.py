@@ -24,6 +24,10 @@ def main():
     p.add_argument("--model", default="DCCRN", choices=["DCCRN", "CRN", "FullSubNet"])
     p.add_argument("--masking-mode", default="E")
     p.add_argument("--lstm", default="complex")
+    p.add_argument(
+        "--sequence-model", default="LSTM", choices=["LSTM", "GRU"],
+        help="FullSubNet RNN cell type the checkpoint was trained with",
+    )
     p.add_argument("--out-dir", default="enhanced")
     p.add_argument(
         "--jit",
@@ -78,6 +82,7 @@ def main():
         )
     cfg = Config(
         model=args.model, masking_mode=args.masking_mode, lstm=args.lstm,
+        sequence_model=args.sequence_model,
         fullsubnet=fsn, compute_dtype=args.compute_dtype,
     )
     model, state = create_train_state(cfg)
