@@ -28,6 +28,10 @@ def main():
         "--sequence-model", default="LSTM", choices=["LSTM", "GRU"],
         help="FullSubNet RNN cell type the checkpoint was trained with",
     )
+    p.add_argument("--no-skip", action="store_true",
+                   help="checkpoint was trained with skip_type=False")
+    p.add_argument("--use-cbn", action="store_true",
+                   help="checkpoint was trained with complex batch norm")
     p.add_argument("--out-dir", default="enhanced")
     p.add_argument(
         "--jit",
@@ -80,9 +84,13 @@ def main():
             "--streaming runs f32 only (sample-exact vs the f32 batch "
             "forward; latency is not FLOP-bound — docs/PERF.md)"
         )
+    from se_tpu.config import DccrnConfig
+
     cfg = Config(
         model=args.model, masking_mode=args.masking_mode, lstm=args.lstm,
         sequence_model=args.sequence_model,
+        skip_type=not args.no_skip,
+        dccrn=DccrnConfig(use_cbn=args.use_cbn),
         fullsubnet=fsn, compute_dtype=args.compute_dtype,
     )
     model, state = create_train_state(cfg)
