@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import argparse
 
-from se_tpu.config import Config, TrainConfig
+from se_tpu.config import Config, DccrnConfig, TrainConfig
 import dataclasses
 
 
@@ -27,6 +27,8 @@ def parse_args():
         choices=["Direct(None make)", "E", "C", "R"],
     )
     p.add_argument("--no-skip", action="store_true", help="remove skip connections")
+    p.add_argument("--use-cbn", action="store_true",
+                   help="complex batch norm in DCCRN (reference use_cbn)")
     p.add_argument("--max-epochs", type=int, default=100)
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--batch", type=int, default=10)
@@ -75,6 +77,7 @@ def main():
         sequence_model=args.sequence_model,
         masking_mode=args.masking_mode,
         skip_type=not args.no_skip,
+        dccrn=DccrnConfig(use_cbn=args.use_cbn),
         compute_dtype=args.compute_dtype,
         use_pallas_lstm=args.pallas_lstm,
         train=TrainConfig(
