@@ -123,8 +123,16 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
         self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Position the loader at ``epoch`` (0-based).  The shuffle is
+        keyed by (seed, epoch), so a resumed run continues the data
+        order it would have seen uninterrupted instead of replaying the
+        start-of-training permutations (Trainer.setup calls this on
+        resume)."""
+        self._epoch = epoch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -136,7 +144,8 @@ class DataLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            self._rng.shuffle(order)
+            # keyed by (seed, epoch): deterministic, resume-positionable
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(self._epoch)
         self._epoch += 1

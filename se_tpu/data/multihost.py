@@ -83,6 +83,11 @@ class MultiHostLoader:
         self.drop_last = drop_last
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Position the loader at ``epoch`` (0-based) — the shuffle is
+        already keyed (seed, epoch), so resume just sets the counter."""
+        self._epoch = epoch
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:

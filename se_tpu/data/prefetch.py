@@ -24,7 +24,14 @@ def prefetch_to_device(
     """Yield device-resident batches, ``depth`` transfers in flight.
 
     ``place_fn`` overrides the placement (e.g. multi-host global-batch
-    assembly via jax.make_array_from_process_local_data)."""
+    assembly via jax.make_array_from_process_local_data).
+
+    If the consumer abandons the generator mid-epoch (a failing train
+    step, KeyboardInterrupt, a retry loop), the generator's close/GC
+    path sets a stop flag that the producer's bounded ``put`` polls, so
+    the background thread exits and its queued device batches are
+    released instead of staying pinned for the life of the process.
+    """
 
     def place(batch):
         if place_fn is not None:
@@ -38,22 +45,44 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
-                q.put(place(batch))
+                if not put(place(batch)):
+                    return
         except Exception as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(sentinel)
+            put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer done or abandoned: release the producer and drop any
+        # staged batches so their device buffers can be freed
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

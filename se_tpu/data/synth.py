@@ -57,8 +57,16 @@ def read_wav(path: str, target_fs: int | None = None) -> Tuple[np.ndarray, int]:
 
 def write_wav(path: str, x: np.ndarray, fs: int):
     """int16 write with the reference's x32768 scaling
-    (generate_noisy_data.py:64-65)."""
-    wavfile.write(path, fs, (x * 32768).astype(np.int16))
+    (generate_noisy_data.py:64-65).
+
+    Documented deviation: the reference's bare ``astype(np.int16)``
+    WRAPS samples at or above 1.0 (1.2 * 32768 -> -26215), writing
+    polarity-flipped full-scale clicks into low-SNR mixtures whose sum
+    exceeds full scale; we saturate instead."""
+    wavfile.write(
+        path, fs,
+        np.clip(x * 32768, -32768, 32767).astype(np.int16),
+    )
 
 
 def mix_at_snr(

@@ -47,18 +47,33 @@ def _stoi_one(args):
     return _stoi(clean, est, fs, extended=False)
 
 
+_POOLS: dict = {}
+
+
+def _pool(workers: int) -> ProcessPoolExecutor:
+    """Lazily-created, REUSED scoring pool per worker count.  Validation
+    calls _map twice per batch (PESQ + STOI); creating a fresh spawn pool
+    each call would pay worker startup + numpy/scipy import on the
+    scoring pipeline's critical path every batch.  concurrent.futures
+    registers an atexit shutdown for the kept executors."""
+    ex = _POOLS.get(workers)
+    if ex is None:
+        # spawn context: never fork a process holding a live TPU client;
+        # the scorers only import numpy/scipy/ctypes, so spawn stays cheap
+        import multiprocessing
+
+        ctx = multiprocessing.get_context("spawn")
+        ex = ProcessPoolExecutor(max_workers=workers, mp_context=ctx)
+        _POOLS[workers] = ex
+    return ex
+
+
 def _map(fn, jobs, workers: int | None):
     if workers is None:
         workers = 0
     if workers <= 1 or len(jobs) <= 1:
         return [fn(j) for j in jobs]
-    # spawn context: never fork a process holding a live TPU client; the
-    # scorers only import numpy/scipy/ctypes, so spawn stays lightweight
-    import multiprocessing
-
-    ctx = multiprocessing.get_context("spawn")
-    with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as ex:
-        return list(ex.map(fn, jobs))
+    return list(_pool(workers).map(fn, jobs))
 
 
 def cal_pesq(dirty_wavs: Sequence[np.ndarray], clean_wavs: Sequence[np.ndarray],

@@ -61,8 +61,22 @@ def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:
 
 
 def copy_best_checkpoint(dir_to_save: str, mse_vali_total: np.ndarray) -> str:
-    """argmin(val loss) -> chkpt_opt (reference: train_interface.py:233-239)."""
-    min_index = int(np.argmin(mse_vali_total))
+    """argmin(val loss) -> chkpt_opt (reference: train_interface.py:233-239).
+
+    Exact-0.0 entries are never-validated epochs (the array is
+    zero-initialised and a real validation loss is never exactly 0.0):
+    a run that crashed between save_checkpoint and validation, or ended
+    before max_epochs, must not have those placeholder zeros win the
+    argmin and promote an unvalidated checkpoint — the reference has
+    exactly that flaw (its argmin runs over the zero-padded array).
+    Keeping zeros in the saved artifact preserves the reference's
+    mse_vali_total.npy format."""
+    validated = mse_vali_total != 0.0
+    if validated.any():
+        candidates = np.where(validated, mse_vali_total, np.inf)
+    else:
+        candidates = mse_vali_total
+    min_index = int(np.argmin(candidates))
     src = _ckpt_path(dir_to_save, min_index + 1)
     tgt = _ckpt_path(dir_to_save, "opt")
     if os.path.exists(tgt):

@@ -90,13 +90,18 @@ class Trainer:
                 make_parallel_eval_step,
             )
 
-            self.mesh = make_mesh(cfg.parallel.num_devices)
-            self.train_step = make_parallel_train_step(cfg, self.model, self.mesh)
-            self.eval_step = make_parallel_eval_step(cfg, self.model, self.mesh)
+            axis = cfg.parallel.data_axis
+            self.mesh = make_mesh(cfg.parallel.num_devices, axis=axis)
+            self.train_step = make_parallel_train_step(
+                cfg, self.model, self.mesh, axis=axis
+            )
+            self.eval_step = make_parallel_eval_step(
+                cfg, self.model, self.mesh, axis=axis
+            )
             self.state = replicate(self.mesh, self.state)
             from ..parallel.mesh import batch_sharding
 
-            self._batch_sharding = batch_sharding(self.mesh)
+            self._batch_sharding = batch_sharding(self.mesh, axis=axis)
         else:
             self.mesh = None
             self.train_step = make_train_step(cfg, self.model)
@@ -116,9 +121,10 @@ class Trainer:
                 seed=cfg.train.seed,
             )
             mesh = self.mesh
+            axis = cfg.parallel.data_axis
 
             def _place(batch):
-                return make_global_batch(mesh, *batch)
+                return make_global_batch(mesh, *batch, axis=axis)
 
             self._place_batch = _place
         else:
@@ -158,6 +164,11 @@ class Trainer:
             print(f"Resuming from checkpoint: {ckpt_path}")
             self.state, epoch = restore_checkpoint(ckpt_path, self.state)
             self.epoch_start_idx = epoch + 1
+            # continue the data order where the run left off: both loader
+            # types key their shuffle (and MixingDataset its mixtures) by
+            # (seed, epoch), so resuming must NOT replay epoch 1's
+            # permutation (training epoch E consumes loader epoch E-1)
+            self.train_loader.set_epoch(self.epoch_start_idx - 1)
             self.mse_vali_total = np.load(
                 os.path.join(self.dir_to_save, "mse_vali_total.npy")
             )
@@ -187,18 +198,25 @@ class Trainer:
         if new_log:
             write_status_to_log_file(self.fp, self.total_params)
 
-        self.writer = Writer(self.dir_to_logs, fs=cfg.stft.fs)
+        self.writer = Writer(
+            self.dir_to_logs, fs=cfg.stft.fs, n_fft=cfg.stft.fft_len,
+            n_overlap=cfg.stft.win_inc,
+        )
         self._dropout_key = jax.random.PRNGKey(cfg.train.seed)
 
     # -- epoch bodies ----------------------------------------------------
     def _feed(self, loader):
-        it = iter(loader)
-        return prefetch_to_device(
-            Bar(it, total=len(loader)),
+        # Bar wraps the CONSUMER side: it advances when a batch is
+        # consumed by the step, not when the background producer thread
+        # prefetches it (which would run the bar up to `depth` ahead and
+        # print from the producer thread)
+        it = prefetch_to_device(
+            iter(loader),
             depth=self.cfg.parallel.prefetch_depth,
             sharding=self._batch_sharding,
             place_fn=self._place_batch,
         )
+        return Bar(it, total=len(loader))
 
     def train_epoch(self) -> dict:
         sums, n = {}, 0
@@ -208,7 +226,13 @@ class Trainer:
             n += 1
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-        return {k: v / max(n, 1) for k, v in sums.items()}
+        if n == 0:
+            raise ValueError(
+                "train loader yielded no batches — the training set "
+                f"({len(self.train_loader.dataset)} rows) is smaller than "
+                f"one batch ({self.cfg.train.batch}) with drop_last"
+            )
+        return {k: v / n for k, v in sums.items()}
 
     def _score(self, est: np.ndarray, clean: np.ndarray):
         if self.score_fn is not None:
@@ -269,6 +293,8 @@ class Trainer:
         counts = getattr(self.valid_loader, "valid_per_batch", None)
         score_path = os.path.join(self.dir_to_save, f"Epoch_{epoch}_SCORES")
         last = None
+        every = cfg.obs.log_media_every
+        media_epoch = every > 0 and epoch % every == 0
         # Host-side PESQ/STOI scoring runs on a single pipeline thread so
         # the accelerator starts the NEXT batch's eval_step while the host
         # scores this one: the validate epoch costs
@@ -305,7 +331,11 @@ class Trainer:
                 while len(futures) > max_pending:
                     scored.append(futures.pop(0).result())
                 n_scored += len(est)
-                last = (self._to_host(noisy)[0], cln[0], est[0])
+                if media_epoch:
+                    # only the final batch's row 0 is logged; skip the
+                    # device->host fetch of the whole noisy batch on the
+                    # (default 9-in-10) epochs that log no media
+                    last = (self._to_host(noisy)[0], cln[0], est[0])
             scored.extend(fut.result() for fut in futures)
 
         with open(score_path, "a") as f_score:
@@ -330,8 +360,7 @@ class Trainer:
             )
             pesq_sum, stoi_sum, n_scored = np.sum(agg, axis=0)
 
-        every = cfg.obs.log_media_every
-        if every > 0 and epoch % every == 0 and last is not None:
+        if media_epoch and last is not None:
             self.writer.log_wav(*last, epoch)
             # image channels exist but are never invoked in the reference
             # (write_on_tensorboard.py:338-386); here they are wired

@@ -85,6 +85,36 @@ def test_resume_continues_from_checkpoint(tmp_path):
     assert np.all(mse != 0)
 
 
+def test_resume_continues_data_order_not_replays_it(tmp_path):
+    """A resumed run must see the shuffles (and MixingDataset mixtures)
+    of the epochs it is about to train, not replay epoch 1's — the
+    loaders key their order by (seed, epoch) and Trainer.setup positions
+    them at epoch_start_idx - 1 on resume."""
+    from se_tpu.data import DataLoader, WaveDataset
+
+    rng = np.random.default_rng(9)
+    data = rng.standard_normal((8, 2, 400)).astype(np.float32)
+
+    def first_rows(loader, n_epochs):
+        out = []
+        for _ in range(n_epochs):
+            out.append(next(iter(loader))[0][0].copy())
+        return out
+
+    # uninterrupted: epochs 1..3
+    full = DataLoader(WaveDataset(data), 2, shuffle=True, drop_last=True,
+                      seed=3)
+    rows = first_rows(full, 3)
+
+    # 'resumed at epoch 3': fresh loader positioned at epoch index 2
+    resumed = DataLoader(WaveDataset(data), 2, shuffle=True, drop_last=True,
+                         seed=3)
+    resumed.set_epoch(2)
+    row3 = next(iter(resumed))[0][0]
+    np.testing.assert_array_equal(row3, rows[2])
+    assert not np.array_equal(rows[0], rows[2])  # epochs really differ
+
+
 def test_fullsubnet_loop_end_to_end(tmp_path):
     """FullSubNet through the full orchestration: dropout rngs, cIRM eval
     decode to waveforms, checkpointing."""
