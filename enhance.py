@@ -149,6 +149,13 @@ def main():
             # framing -> enhance_chunk -> OLA synthesis; only the emitted
             # samples accumulate on the host.
             L = wav.shape[-1]
+            # the analysis needs its first chunk to exceed the reflect pad
+            # (fft_len//2 samples); right-pad very short/empty wavs with
+            # zeros — causal norms make the trailing pad inert, and the
+            # output is trimmed back to L below
+            min_len = s.fft_len // 2 + 1
+            if L < min_len:
+                wav = jnp.pad(wav, (0, min_len - L))
             ana = StreamingStft(s.fft_len, hop, s.win_len)
             syn = StreamingIstft(s.fft_len, hop, s.win_len)
             st = {"a": None, "m": None, "s": None, "skip": la}
@@ -164,7 +171,7 @@ def main():
                     y, st["s"] = syn.push(e[..., drop:], st["s"])
                     outs.append(y)
 
-            for lo in range(0, L, chunk):
+            for lo in range(0, wav.shape[-1], chunk):
                 frames, st["a"] = ana.push(wav[None, lo : lo + chunk], st["a"])
                 feed(frames)
             feed(ana.flush(st["a"]))

@@ -17,11 +17,13 @@ import sys
 import numpy as np
 
 from ..data.synth import read_wav
-from .metrics import run_pesq_waveforms, composite
+from .metrics import run_pesq_waveforms
 from .stoi import stoi
 
 
 def check_pair(clean_path: str, estimated_path: str):
+    from .composite import composite_measures
+
     clean, fs = read_wav(clean_path)
     est, fs2 = read_wav(estimated_path)
     assert fs == fs2, "sample rates differ"
@@ -29,7 +31,15 @@ def check_pair(clean_path: str, estimated_path: str):
     clean, est = clean[:n], est[:n]
     pesq_score = run_pesq_waveforms(est, clean, fs)
     stoi_score = stoi(clean, est, fs, extended=False)
-    csig, cbak, covl, ssnr = composite(clean_path, estimated_path)
+    # composite from the SAME truncated arrays and the SAME PESQ score
+    # (PESQ is the expensive metric — computing it again inside a
+    # path-based composite() would double the cost and, for
+    # different-length files, fold a different MOS into CSIG/CBAK/COVL
+    # than the printed one; reference re-add: tools_for_estimate.py:27-29)
+    csig, cbak, covl, ssnr = composite_measures(clean, est, fs)
+    csig += 0.603 * pesq_score
+    cbak += 0.478 * pesq_score
+    covl += 0.805 * pesq_score
     print(
         f"{os.path.basename(estimated_path)}: "
         f"PESQ {pesq_score:.4f} | STOI {stoi_score:.4f} | "
@@ -68,13 +78,17 @@ def check_dirs(target_dir: str, estimated_dir: str):
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if not argv:
-        print(__doc__)
-        return
-    if argv[0] == "--dir":
+    if argv and argv[0] == "--dir":
+        if len(argv) != 3:
+            print(__doc__)
+            raise SystemExit("--dir needs TARGET_DIR and ESTIMATED_DIR")
         check_dirs(argv[1], argv[2])
-    else:
+    elif len(argv) == 2:
         check_pair(argv[0], argv[1])
+    else:
+        print(__doc__)
+        if argv:
+            raise SystemExit("expected: CLEAN.wav ENHANCED.wav")
 
 
 if __name__ == "__main__":

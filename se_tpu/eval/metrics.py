@@ -50,20 +50,46 @@ def _stoi_one(args):
 _POOLS: dict = {}
 
 
+def _sleep_marker(seconds: float) -> int:
+    """Warm-up task: forces the executor to actually start its workers
+    (they spawn lazily) while the parent's environment is scrubbed."""
+    import time
+
+    time.sleep(seconds)
+    return os.getpid()
+
+
 def _pool(workers: int) -> ProcessPoolExecutor:
     """Lazily-created, REUSED scoring pool per worker count.  Validation
     calls _map twice per batch (PESQ + STOI); creating a fresh spawn pool
     each call would pay worker startup + numpy/scipy import on the
     scoring pipeline's critical path every batch.  concurrent.futures
-    registers an atexit shutdown for the kept executors."""
+    registers an atexit shutdown for the kept executors.
+
+    Worker environment: this container's sitecustomize imports JAX and
+    registers the tunnelled axon TPU in EVERY interpreter that sees
+    ``PALLAS_AXON_POOL_IPS`` — a scoring worker must not open its own
+    TPU client (slow startup; fails outright during tunnel flaps).  The
+    variable is scrubbed from the parent env while the pool's workers
+    start (spawned children inherit the env at their creation), then
+    restored."""
     ex = _POOLS.get(workers)
     if ex is None:
         # spawn context: never fork a process holding a live TPU client;
-        # the scorers only import numpy/scipy/ctypes, so spawn stays cheap
+        # the scorers only import numpy/scipy/ctypes
         import multiprocessing
 
-        ctx = multiprocessing.get_context("spawn")
-        ex = ProcessPoolExecutor(max_workers=workers, mp_context=ctx)
+        saved = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        try:
+            ctx = multiprocessing.get_context("spawn")
+            ex = ProcessPoolExecutor(max_workers=workers, mp_context=ctx)
+            # force every worker to spawn NOW, under the scrubbed env:
+            # concurrent sleep tasks cannot be served by fewer workers
+            list(ex.map(_sleep_marker, [0.05] * workers))
+        finally:
+            if saved is not None:
+                os.environ["PALLAS_AXON_POOL_IPS"] = saved
         _POOLS[workers] = ex
     return ex
 
@@ -73,7 +99,20 @@ def _map(fn, jobs, workers: int | None):
         workers = 0
     if workers <= 1 or len(jobs) <= 1:
         return [fn(j) for j in jobs]
-    return list(_pool(workers).map(fn, jobs))
+    from concurrent.futures.process import BrokenProcessPool
+
+    try:
+        return list(_pool(workers).map(fn, jobs))
+    except BrokenProcessPool:
+        # one dead worker (native-scorer segfault, OOM kill) must not
+        # disable scoring for the rest of a run: rebuild the pool once,
+        # then fall back to serial scoring for these jobs
+        _POOLS.pop(workers, None)
+        try:
+            return list(_pool(workers).map(fn, jobs))
+        except BrokenProcessPool:
+            _POOLS.pop(workers, None)
+            return [fn(j) for j in jobs]
 
 
 def cal_pesq(dirty_wavs: Sequence[np.ndarray], clean_wavs: Sequence[np.ndarray],

@@ -12,12 +12,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..train.steps import (
-    _loss_and_outputs,
-    trainer_variant,
-    fullsubnet_enhance,
-    train_step_body,
-)
+from ..train.steps import eval_step_body, train_step_body
 
 
 def make_parallel_train_step(cfg: Config, model, mesh: Mesh, axis: str = "data"):
@@ -38,22 +33,10 @@ def make_parallel_train_step(cfg: Config, model, mesh: Mesh, axis: str = "data")
 def make_parallel_eval_step(cfg: Config, model, mesh: Mesh, axis: str = "data"):
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(axis))
-    variant = trainer_variant(cfg)
-
-    def eval_step(state, inputs, targets):
-        loss, (aux, outputs, _) = _loss_and_outputs(
-            cfg, model, state.params, state.batch_stats, inputs, targets,
-            train=False, dropout_rng=jax.random.PRNGKey(0),
-        )
-        if variant == "fullsubnet":
-            cRM, noisy_complex = outputs
-            outputs = fullsubnet_enhance(
-                cfg, cRM, noisy_complex, length=inputs.shape[-1]
-            )
-        return {"loss": loss, **aux}, outputs
-
+    # shared body with the single-device path (se_tpu/train/steps.py) so
+    # the mesh and single-device validation can never diverge
     return jax.jit(
-        eval_step,
+        eval_step_body(cfg, model),
         in_shardings=(repl, bsh, bsh),
         out_shardings=(repl, bsh),
     )

@@ -17,6 +17,12 @@ def make_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
     (0 = all)."""
     devices = jax.devices()
     if num_devices:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} devices are available — a silently "
+                f"smaller mesh would double the per-device batch"
+            )
         devices = devices[:num_devices]
     return Mesh(devices, (axis,))
 

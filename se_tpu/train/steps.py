@@ -227,6 +227,12 @@ def train_step_body(cfg: Config, model) -> Callable:
 def make_eval_step(cfg: Config, model) -> Callable:
     """Validation forward: loss + enhanced waveforms for host-side scoring
     (reference: trainer.py:188-483)."""
+    return jax.jit(eval_step_body(cfg, model))
+
+
+def eval_step_body(cfg: Config, model) -> Callable:
+    """The un-jitted eval step (shared by the single-device jit and the
+    mesh pjit in se_tpu/parallel/dp.py, like train_step_body)."""
     variant = trainer_variant(cfg)
 
     def eval_step(state, inputs, targets):
@@ -242,4 +248,4 @@ def make_eval_step(cfg: Config, model) -> Callable:
         metrics = {"loss": loss, **aux}
         return metrics, outputs
 
-    return jax.jit(eval_step)
+    return eval_step

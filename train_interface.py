@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 
 from se_tpu.config import Config, DccrnConfig, TrainConfig
-import dataclasses
 
 
 def parse_args():
