@@ -181,7 +181,10 @@ def conv_istft(
     out = out / (coff + 1e-8)
 
     trim = k.win_len - k.hop
-    out = out[..., trim:-trim]
+    if trim:
+        out = out[..., trim:-trim]
+    # trim == 0 (no-overlap framing, win_len == hop): `[0:-0]` would be an
+    # EMPTY slice silently discarding the whole synthesis — keep it all
     return out[:, None, :]  # [B, 1, L] to mirror the reference conv output
 
 
@@ -258,6 +261,10 @@ def istft(
     out = out[..., pad:]
     if length is not None:
         out = out[..., :length]
+        if out.shape[-1] < length:
+            # torch.istft zero-fills a requested length beyond the
+            # reconstructable span rather than returning a short array
+            out = jnp.pad(out, ((0, 0), (0, length - out.shape[-1])))
     else:
         out = out[..., : out.shape[-1] - pad]
     return out

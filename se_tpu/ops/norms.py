@@ -279,32 +279,47 @@ def init_cumulative_carry(n_rows: int, with_pow: bool):
 
 
 def cumulative_laplace_norm_carry(x: jnp.ndarray, carry):
-    """Chunk of [B, C, F, T] + carry -> (normed, new_carry)."""
+    """Chunk of [B, C, F, T] + carry -> (normed, new_carry).
+
+    Statistics accumulate in f32 regardless of x.dtype (like the batch
+    ``cumulative_laplace_norm``): bf16 sums drift, and even the bf16
+    entry count rounds (257 -> 256), so x.dtype statistics would break
+    the chunk-vs-batch bit-equivalence this module promises."""
     B, C, F, T = x.shape
     xr = x.reshape(B * C, F, T)
-    step_sum = jnp.sum(xr, axis=1)  # [BC, T]
+    step_sum = jnp.sum(xr.astype(jnp.float32), axis=1)  # [BC, T]
     prev_sum, prev_count = carry
     cum_sum = prev_sum[:, None] + jnp.cumsum(step_sum, axis=-1)
-    entry_count = prev_count + jnp.arange(F, F * T + 1, F, dtype=x.dtype)[None, :]
-    cum_mean = (cum_sum / entry_count)[:, None, :]
+    entry_count = prev_count + jnp.arange(
+        F, F * T + 1, F, dtype=jnp.float32
+    )[None, :]
+    cum_mean = (cum_sum / entry_count)[:, None, :].astype(x.dtype)
     y = (xr / (cum_mean + EPSILON)).reshape(B, C, F, T)
     return y, (cum_sum[:, -1], prev_count + F * T)
 
 
 def cumulative_layer_norm_carry(x: jnp.ndarray, carry):
-    """Chunk of [B, C, F, T] + carry -> (normed, new_carry)."""
+    """Chunk of [B, C, F, T] + carry -> (normed, new_carry).
+
+    f32 statistics regardless of x.dtype (see
+    ``cumulative_laplace_norm_carry``)."""
     B, C, F, T = x.shape
     xr = x.reshape(B * C, F, T)
-    step_sum = jnp.sum(xr, axis=1)
-    step_pow = jnp.sum(jnp.square(xr), axis=1)
+    xf = xr.astype(jnp.float32)
+    step_sum = jnp.sum(xf, axis=1)
+    step_pow = jnp.sum(jnp.square(xf), axis=1)
     prev_sum, prev_pow, prev_count = carry
     cum_sum = prev_sum[:, None] + jnp.cumsum(step_sum, axis=-1)
     cum_pow = prev_pow[:, None] + jnp.cumsum(step_pow, axis=-1)
-    entry_count = prev_count + jnp.arange(F, F * T + 1, F, dtype=x.dtype)[None, :]
+    entry_count = prev_count + jnp.arange(
+        F, F * T + 1, F, dtype=jnp.float32
+    )[None, :]
     cum_mean = cum_sum / entry_count
     cum_var = (cum_pow - 2 * cum_mean * cum_sum) / entry_count + cum_mean**2
     cum_std = jnp.sqrt(cum_var + EPSILON)
-    y = (xr - cum_mean[:, None, :]) / cum_std[:, None, :]
+    y = (xr - cum_mean[:, None, :].astype(x.dtype)) / cum_std[
+        :, None, :
+    ].astype(x.dtype)
     return (
         y.reshape(B, C, F, T),
         (cum_sum[:, -1], cum_pow[:, -1], prev_count + F * T),

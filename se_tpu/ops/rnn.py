@@ -217,7 +217,14 @@ def lstm_stack(
     matmul accumulation, and the gate arithmetic in f32 (see _lstm_scan).
     Output dtype is then bf16.  ``use_pallas`` runs the recurrence as the
     fused VMEM-resident Pallas kernel (f32-carry paths only).
+
+    bf16 INPUTS always get the mixed semantics, like ``lstm``/``gru``:
+    a fully-bf16 (h, c) carry is the documented NaN-by-step-150 failure
+    mode (docs/PERF.md), so there is no entry point that silently runs
+    it.
     """
+    if x.dtype == jnp.bfloat16:
+        mixed_precision = True
     if mixed_precision:
         x16 = x.astype(jnp.bfloat16)
         w_ih16 = params.w_ih.astype(jnp.bfloat16)
