@@ -80,6 +80,7 @@ def _pool(workers: int) -> ProcessPoolExecutor:
         import multiprocessing
 
         saved = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        saved_platforms = os.environ.get("JAX_PLATFORMS")
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
         try:
             ctx = multiprocessing.get_context("spawn")
@@ -90,6 +91,10 @@ def _pool(workers: int) -> ProcessPoolExecutor:
         finally:
             if saved is not None:
                 os.environ["PALLAS_AXON_POOL_IPS"] = saved
+            if saved_platforms is None:
+                # restore: a later subprocess of THIS process must not
+                # inherit a forced-CPU JAX just because scoring ran once
+                os.environ.pop("JAX_PLATFORMS", None)
         _POOLS[workers] = ex
     return ex
 
