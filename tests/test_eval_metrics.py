@@ -270,3 +270,30 @@ def test_pesq_fallback_when_native_unavailable(rng, monkeypatch):
     scores = metrics.cal_pesq([noisy], [x], 16000, workers=1)
     assert scores[0] != 0.0
     assert scores[0] == pytest.approx(pesq_np(x, noisy, 16000), abs=1e-9)
+
+
+def test_scoring_pool_restores_parent_env(monkeypatch):
+    """The reused spawn pool scrubs PALLAS_AXON_POOL_IPS / forces
+    JAX_PLATFORMS=cpu only while its workers start; both must be back to
+    their prior values afterwards (a leaked JAX_PLATFORMS=cpu would make
+    every LATER subprocess of the training process silently run CPU JAX)."""
+    import os
+
+    from se_tpu.eval import metrics
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "203.0.113.7")
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    # a fresh pool for a worker count nothing else uses, so _pool takes
+    # the creation path even when other tests already scored with 2
+    workers = 3
+    metrics._POOLS.pop(workers, None)
+    try:
+        pids = metrics._pool(workers).map(metrics._sleep_marker, [0.0] * workers)
+        assert len(set(pids)) >= 1  # workers actually ran
+        assert os.environ["PALLAS_AXON_POOL_IPS"] == "203.0.113.7"
+        assert "JAX_PLATFORMS" not in os.environ
+        assert metrics._pool(workers) is metrics._POOLS[workers]  # reused
+    finally:
+        ex = metrics._POOLS.pop(workers, None)
+        if ex is not None:
+            ex.shutdown(wait=False, cancel_futures=True)
