@@ -200,10 +200,13 @@ class Config:
     # variant (docs/PERF.md round-3).  Also the memory-lean path that
     # lets FullSubNet's B*257-row sub-band model train at real batch
     # sizes (the hoisted x_proj OOMs otherwise, for both cell types).
-    # "auto" (default): on for single-chip TPU execution; the lax.scan
-    # cell elsewhere (CPU runs the kernel only in slow interpret mode,
-    # and multi-chip SPMD partitioning of pallas_call needs shard_map).
-    # "on"/"off" (or True/False) force it.
+    # "auto" (default): on for TPU execution — single-chip, and under
+    # any SPMD mesh whose step was built by se_tpu/parallel/dp.py (each
+    # kernel call is wrapped in jax.shard_map over the data axis, so
+    # scale-out keeps the fused cells; batches that don't divide the
+    # mesh fall back to the lax.scan cell).  Off on CPU, where the
+    # kernel only runs in slow interpret mode.  "on"/"off" (or
+    # True/False) force it.
     use_pallas_lstm: str = "auto"
 
     # Complex-conv realisation: "block" = one conv with the real 2x2 block

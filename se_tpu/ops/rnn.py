@@ -14,11 +14,14 @@ verbatim.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import PartitionSpec as P
 
 # Precision of the hoisted input-projection GEMMs.  DEFAULT (bf16-input
 # MXU passes with f32 accumulation) measures ~15% faster than HIGHEST on
@@ -120,7 +123,10 @@ def lstm(
     roundoff; docs/PERF.md) — identically in the Pallas and scan paths.
     """
     H = params.w_hh.shape[1]
-    if resolve_pallas(use_pallas):
+    ctx = current_shard_context()
+    if resolve_pallas(use_pallas) and (
+        ctx is None or _mesh_fits(ctx, x.shape[1])
+    ):
         from . import pallas_lstm
 
         T, B, In = x.shape
@@ -133,7 +139,9 @@ def lstm(
         # layout constraints and pads size-1 axes 128x (gigabytes of
         # temp on FullSubNet's B*257-row batches)
         x = jax.lax.optimization_barrier(x)
-        ys, (hT, cT) = pallas_lstm.fused_lstm_scan_inproj(
+        call = (pallas_lstm.fused_lstm_scan_inproj if ctx is None
+                else _sharded_lstm_inproj(ctx))
+        ys, (hT, cT) = call(
             x[:, None],
             params.w_ih.T[None].astype(jnp.float32),
             (params.b_ih + params.b_hh)[None].astype(jnp.float32),
@@ -163,14 +171,113 @@ def lstm(
 
 def resolve_pallas(flag) -> bool:
     """Resolve a use_pallas_lstm setting: True/"on" and False/"off" are
-    forced; "auto" enables the fused cell only for single-chip TPU
-    execution (see Config.use_pallas_lstm)."""
+    forced; "auto" enables the fused cell for single-chip TPU execution
+    and, when a shard context is active (se_tpu/parallel/dp.py traces its
+    step bodies under ``shard_context``), for SPMD meshes too — the
+    kernel calls are then wrapped in jax.shard_map over the data axis
+    (see Config.use_pallas_lstm)."""
     if flag in (True, "on"):
         return True
     if flag in (False, "off", None):
         return False
-    return (
-        jax.default_backend() == "tpu" and jax.device_count() == 1
+    if jax.default_backend() != "tpu":
+        return False
+    return jax.device_count() == 1 or current_shard_context() is not None
+
+
+# ---------------------------------------------------------------------------
+# SPMD mesh support for the fused Pallas cells.
+#
+# pallas_call does not auto-partition under jit-with-shardings; the batch
+# axis is the data-parallel axis and every fused kernel is batch-tiled,
+# so wrapping each kernel call in jax.shard_map over the mesh's data axis
+# makes it run per-shard on the local batch — numerically identical to
+# the unsharded kernel (independent sequences).  The mesh is communicated
+# via a trace-time context entered by se_tpu/parallel/dp.py; everything
+# outside the kernels stays global-view jit (BN statistics and the psum
+# gradient reduction keep their single-device semantics).
+# ---------------------------------------------------------------------------
+
+_SHARD_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "se_tpu_rnn_shard_ctx", default=None
+)
+
+
+@contextlib.contextmanager
+def shard_context(mesh, axis: str = "data"):
+    """Declare (at trace time) that batch tensors are sharded over
+    ``mesh`` along ``axis``; fused Pallas recurrences inside the context
+    are wrapped in jax.shard_map over that axis."""
+    token = _SHARD_CTX.set((mesh, axis))
+    try:
+        yield
+    finally:
+        _SHARD_CTX.reset(token)
+
+
+def current_shard_context():
+    return _SHARD_CTX.get()
+
+
+def _mesh_fits(ctx, *batch_sizes) -> bool:
+    """Every batch axis must divide the mesh's data axis for the
+    per-shard kernels; otherwise the caller falls back to the scan cell
+    (correct for remainder batches, e.g. a short final eval batch)."""
+    mesh, axis = ctx
+    n = mesh.shape[axis]
+    return all(b % n == 0 for b in batch_sizes)
+
+
+def _smap(ctx, fn, in_specs, out_specs):
+    mesh, _ = ctx
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,  # pallas interpret mode carries no vma info
+    )
+
+
+def _sharded_lstm_inproj(ctx):
+    from . import pallas_lstm
+
+    ax = ctx[1]
+    stream = P(None, None, ax, None)  # [T, L, B, *]
+    state = P(None, ax, None)  # [L, B, H]
+    return _smap(
+        ctx,
+        pallas_lstm.fused_lstm_scan_inproj,
+        in_specs=(stream, P(), P(), P(), state, state),
+        out_specs=(stream, (state, state)),
+    )
+
+
+def _sharded_lstm_scan(ctx):
+    from . import pallas_lstm
+
+    ax = ctx[1]
+    stream = P(None, None, ax, None)
+    state = P(None, ax, None)
+    return _smap(
+        ctx,
+        pallas_lstm.fused_lstm_scan,
+        in_specs=(stream, P(), state, state),
+        out_specs=(stream, (state, state)),
+    )
+
+
+def _sharded_gru_inproj(ctx):
+    from . import pallas_lstm
+
+    ax = ctx[1]
+    stream = P(None, None, ax, None)
+    state = P(None, ax, None)
+    return _smap(
+        ctx,
+        pallas_lstm.fused_gru_scan_inproj,
+        in_specs=(stream, P(), P(), P(), P(), state),
+        out_specs=(stream, state),
     )
 
 
@@ -179,9 +286,10 @@ def _scan_or_pallas(x_proj, w_hh, H, h0, c0, unroll, use_pallas,
     """Dispatch the recurrence: the Pallas fused cell (f32 carry resident
     in VMEM, one kernel for the whole scan — se_tpu/ops/pallas_lstm.py)
     when requested and applicable, else the lax.scan cell."""
+    ctx = current_shard_context()
     if resolve_pallas(use_pallas) and x_proj.ndim == 4 and (
         (carry_dtype or x_proj.dtype) == jnp.float32
-    ):
+    ) and (ctx is None or _mesh_fits(ctx, x_proj.shape[2])):
         from . import pallas_lstm
 
         L = x_proj.shape[1]
@@ -192,9 +300,9 @@ def _scan_or_pallas(x_proj, w_hh, H, h0, c0, unroll, use_pallas,
             else c0.astype(jnp.float32)
         w_hh_t = w_hh.swapaxes(-1, -2).astype(jnp.float32)
         odt = out_dtype or x_proj.dtype
-        ys, final = pallas_lstm.fused_lstm_scan(
-            x_proj.astype(odt), w_hh_t, h0_, c0_
-        )
+        call = (pallas_lstm.fused_lstm_scan if ctx is None
+                else _sharded_lstm_scan(ctx))
+        ys, final = call(x_proj.astype(odt), w_hh_t, h0_, c0_)
         return ys, final
     return _lstm_scan(x_proj, w_hh, H, h0, c0, unroll,
                       carry_dtype=carry_dtype, out_dtype=out_dtype)
@@ -296,7 +404,10 @@ def gru(
     the same failure mode.
     """
     H = params.w_hh.shape[1]
-    if resolve_pallas(use_pallas):
+    ctx = current_shard_context()
+    if resolve_pallas(use_pallas) and (
+        ctx is None or _mesh_fits(ctx, x.shape[1])
+    ):
         from . import pallas_lstm
 
         T, B, In = x.shape
@@ -305,7 +416,9 @@ def gru(
         # same layout barrier as lstm(): keep the stream materialised so
         # XLA does not remat producer slices against the kernel layout
         x = jax.lax.optimization_barrier(x)
-        ys, hT = pallas_lstm.fused_gru_scan_inproj(
+        call = (pallas_lstm.fused_gru_scan_inproj if ctx is None
+                else _sharded_gru_inproj(ctx))
+        ys, hT = call(
             x[:, None],
             params.w_ih.T[None].astype(jnp.float32),
             params.b_ih[None].astype(jnp.float32),

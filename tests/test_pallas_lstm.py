@@ -160,6 +160,106 @@ def test_resolve_pallas_auto_off_on_cpu():
     assert not rnn_ops.resolve_pallas("off")
 
 
+# ---------------------------------------------------------------------------
+# SPMD mesh: the fused cells wrapped in jax.shard_map over the data axis
+# (se_tpu/ops/rnn.py shard_context — entered by se_tpu/parallel/dp.py).
+# ---------------------------------------------------------------------------
+
+
+def _data_mesh():
+    from jax.sharding import Mesh
+
+    return Mesh(jax.devices(), ("data",))
+
+
+def test_lstm_stack_matches_under_shard_map():
+    """fused_lstm_scan via lstm_stack: forward + grads identical between
+    no-mesh and the shard_map-wrapped dispatch (8-way batch shard)."""
+    rng = np.random.default_rng(7)
+    T, B, In, H = 10, 16, 16, 16
+    x = jnp.asarray(rng.standard_normal((T, B, In)) * 0.5, jnp.float32)
+    p = _stack_params(In, H)
+
+    def loss(p, x):
+        ys = rnn_ops.lstm_stack(p, x, use_pallas=True)
+        return jnp.sum(ys**2)
+
+    l1, g1 = jax.value_and_grad(loss, (0, 1))(p, x)
+    mesh = _data_mesh()
+    with rnn_ops.shard_context(mesh):
+        l2, g2 = jax.jit(jax.value_and_grad(loss, (0, 1)))(p, x)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_lstm_inproj_matches_under_shard_map():
+    """fused_lstm_scan_inproj via rnn_ops.lstm under shard_context."""
+    rng = np.random.default_rng(8)
+    T, B, In, H = 9, 16, 8, 16
+    x = jnp.asarray(rng.standard_normal((T, B, In)) * 0.5, jnp.float32)
+    p = rnn_ops.init_lstm_params(jax.random.PRNGKey(2), In, H)
+
+    def loss(p, x):
+        ys, (hT, cT) = rnn_ops.lstm(p, x, use_pallas=True)
+        return jnp.sum(ys**2) + jnp.sum(hT) + jnp.sum(cT)
+
+    l1, g1 = jax.value_and_grad(loss, (0, 1))(p, x)
+    with rnn_ops.shard_context(_data_mesh()):
+        l2, g2 = jax.jit(jax.value_and_grad(loss, (0, 1)))(p, x)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_gru_inproj_matches_under_shard_map():
+    """fused_gru_scan_inproj via rnn_ops.gru under shard_context."""
+    rng = np.random.default_rng(9)
+    T, B, In, H = 9, 16, 8, 16
+    x = jnp.asarray(rng.standard_normal((T, B, In)) * 0.5, jnp.float32)
+    p = rnn_ops.init_gru_params(jax.random.PRNGKey(3), In, H)
+
+    def loss(p, x):
+        ys, hT = rnn_ops.gru(p, x, use_pallas=True)
+        return jnp.sum(ys**2) + jnp.sum(hT)
+
+    l1, g1 = jax.value_and_grad(loss, (0, 1))(p, x)
+    with rnn_ops.shard_context(_data_mesh()):
+        l2, g2 = jax.jit(jax.value_and_grad(loss, (0, 1)))(p, x)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_shard_context_falls_back_when_batch_indivisible():
+    """B=6 over an 8-device mesh: the dispatch must fall back to the scan
+    cell (shard_map would require divisibility) and still be correct."""
+    rng = np.random.default_rng(10)
+    T, B, In, H = 8, 6, 8, 16
+    x = jnp.asarray(rng.standard_normal((T, B, In)) * 0.5, jnp.float32)
+    p = rnn_ops.init_lstm_params(jax.random.PRNGKey(4), In, H)
+    ys_ref, _ = rnn_ops.lstm(p, x)  # scan cell
+    with rnn_ops.shard_context(_data_mesh()):
+        ys_sm, _ = rnn_ops.lstm(p, x, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(ys_ref), np.asarray(ys_sm),
+                               atol=1e-6)
+
+
+def test_resolve_pallas_auto_under_mesh_context():
+    """"auto" stays off on CPU even under a shard context (interpret mode
+    is a slow-path only for tests); forcing works and dispatch shards."""
+    with rnn_ops.shard_context(_data_mesh()):
+        assert rnn_ops.resolve_pallas("auto") is False  # CPU backend
+        assert rnn_ops.resolve_pallas("on") is True
+    assert rnn_ops.current_shard_context() is None
+
+
 def test_train_step_equal_with_and_without_pallas():
     """Tiny DCCRN and FullSubNet train steps: identical loss with the
     fused cell forced on (interpret) vs the scan."""
