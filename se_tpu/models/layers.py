@@ -329,7 +329,12 @@ class ComplexConv2d(nn.Module):
                 ],
                 axis=0,
             )  # [2co, 2ci, kh, kw]
-            bias = jnp.concatenate([br, bi])
+            # bias combines like the kernel: the reference applies BOTH
+            # component convs (each with its own bias) to BOTH inputs, so
+            # real_out carries br - bi and imag_out br + bi
+            # (tools_for_model.py:251-266: real = conv_r(r) - conv_i(i),
+            # imag = conv_i(r) + conv_r(i))
+            bias = jnp.concatenate([br - bi, br + bi])
             r = _pick_s2d(self.s2d, self.in_channels, self.kernel_size,
                           self.stride, x.shape[2])
             if r:
@@ -384,7 +389,10 @@ class ComplexConvTranspose2d(nn.Module):
                 ],
                 axis=0,
             )  # [2ci, 2co, kh, kw]
-            bias = jnp.concatenate([br, bi])
+            # same bias combination as ComplexConv2d block: the reference
+            # adds both component biases to both outputs with the complex
+            # signs (tools_for_model.py:316-335)
+            bias = jnp.concatenate([br - bi, br + bi])
             r = _pick_s2d_transpose(
                 self.s2d, self.out_channels, self.kernel_size, self.stride,
                 self.padding, self.output_padding, x.shape[2],

@@ -395,3 +395,41 @@ def test_gru_bf16_mixed_precision_close_to_f32():
     assert h16.dtype == jnp.float32
     err = float(jnp.max(jnp.abs(y32 - y16.astype(jnp.float32))))
     assert err < 0.05, err
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_complex_conv_bias_semantics_block_vs_dbatch(rng, transpose):
+    """The block-kernel complex conv must carry the reference's bias
+    wiring — real_out += br - bi, imag_out += br + bi (both component
+    convs, each with its own bias, run on both inputs:
+    tools_for_model.py:251-266).  Pinned against the doubled-batch
+    variant, which applies each conv (bias included) separately, with
+    RANDOM nonzero biases — zero-init biases hid a block-variant
+    mis-wiring until the trajectory-parity suite caught it."""
+    from se_tpu.models.layers import ComplexConv2d, ComplexConvTranspose2d
+    import jax
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 12)).astype(np.float32))
+    br = rng.standard_normal(2).astype(np.float32)
+    bi = rng.standard_normal(2).astype(np.float32)
+    outs = {}
+    for variant in ("block", "dbatch"):
+        if transpose:
+            layer = ComplexConvTranspose2d(
+                8, 4, kernel_size=(5, 2), stride=(2, 1), padding=(2, 0),
+                output_padding=(1, 0), variant=variant,
+            )
+        else:
+            layer = ComplexConv2d(
+                8, 4, kernel_size=(5, 2), stride=(2, 1), padding=(2, 0),
+                variant=variant,
+            )
+        variables = layer.init(jax.random.PRNGKey(0), x)
+        # force nonzero biases (init is zeros, which masks bias wiring)
+        params = dict(
+            variables["params"],
+            real_bias=jnp.asarray(br),
+            imag_bias=jnp.asarray(bi),
+        )
+        outs[variant] = np.asarray(layer.apply({"params": params}, x))
+    np.testing.assert_allclose(outs["block"], outs["dbatch"], atol=2e-5)
