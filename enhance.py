@@ -103,13 +103,15 @@ def main():
         from se_tpu.dsp import frame_stft
         from se_tpu.train.steps import fullsubnet_enhance
 
-        def enhance(wav):
+        def enhance(wav, valid_frames=None):
             s = cfg.stft
             noisy_complex = frame_stft(
                 wav[None], s.fft_len, s.torch_hop, s.win_len
             )
             mag = jnp.abs(noisy_complex)
-            cRM = model.apply(variables, mag, train=False)
+            cRM = model.apply(
+                variables, mag, train=False, valid_frames=valid_frames
+            )
             return fullsubnet_enhance(cfg, cRM, noisy_complex, wav.shape[-1])[0]
 
     else:
@@ -233,22 +235,42 @@ def main():
         # bucket lengths to whole seconds so jax.jit's shape-keyed cache
         # compiles once per bucket instead of once per file; the zero pad
         # only influences the trailing analysis frames and is trimmed off.
-        # Exception: FullSubNet's offline_* norms take utterance-GLOBAL
-        # statistics (mean over every time frame, se_tpu/ops/norms.py),
-        # so padded zero frames would rescale the normalised input for the
-        # whole utterance — jit per exact length instead (shape-keyed
-        # cache still shares compiles across same-length files).  The
-        # cumulative_* norms are causal prefix statistics, so for them the
-        # pad really does only touch the trimmed-off tail.
+        #
+        # FullSubNet's offline_* norms take utterance-GLOBAL statistics
+        # (mean over every time frame, se_tpu/ops/norms.py), so naive
+        # zero-pad would rescale the normalised input for the whole
+        # utterance.  The pad-aware path keeps 1-s bucketing exact on the
+        # valid prefix: (a) the pad's first fft_len/2 samples REFLECT the
+        # signal tail — exactly the continuation torch.stft-style framing
+        # reads past the end — so every valid frame is bit-identical to
+        # the exact-length run's; (b) the model gets ``valid_frames`` and
+        # masks later frames out of the statistics (se_tpu/models/
+        # fullsubnet.py).  Only the final analysis window of output can
+        # differ (same contract as the conv-STFT models' bucketing).
         offline_norm = cfg.model == "FullSubNet" and cfg.fullsubnet.norm_type.startswith("offline")
-        bucket = 1 if offline_norm else cfg.stft.fs
+        bucket = cfg.stft.fs
         jitted = jax.jit(enhance)
 
-        def enhance(wav):  # noqa: F811 — wraps the eager closure above
-            L = wav.shape[-1]
-            pad = -(-L // bucket) * bucket - L
-            y = jitted(jnp.pad(wav, (0, pad)))
-            return np.asarray(y)[:L]
+        if offline_norm:
+            def enhance(wav):  # noqa: F811 — wraps the eager closure above
+                L = int(wav.shape[-1])
+                margin = cfg.stft.fft_len // 2
+                padded = -(-(L + margin) // bucket) * bucket
+                wav = np.asarray(wav)
+                # torch.stft's end reflection: x[L+k] = x[L-2-k]
+                tail = wav[max(L - 1 - margin, 0):max(L - 1, 0)][::-1]
+                buf = np.zeros(padded, wav.dtype)
+                buf[:L] = wav
+                buf[L:L + len(tail)] = tail
+                n_frames = 1 + L // cfg.stft.torch_hop
+                y = jitted(jnp.asarray(buf), jnp.asarray(n_frames))
+                return np.asarray(y)[:L]
+        else:
+            def enhance(wav):  # noqa: F811 — wraps the eager closure above
+                L = wav.shape[-1]
+                pad = -(-L // bucket) * bucket - L
+                y = jitted(jnp.pad(wav, (0, pad)))
+                return np.asarray(y)[:L]
 
     for path in args.wavs:
         wav, fs = read_wav(path, cfg.stft.fs)

@@ -104,6 +104,10 @@ class FullSubNetConfig:
     weight_init: bool = False
     norm_type: str = "offline_laplace_norm"
     num_groups_in_drop_band: int = 2
+    # Inter-layer RNN dropout in both SequenceModels (reference:
+    # tools_for_model.py:726-795 hardcodes 0.8).  Exposed so training-
+    # trajectory parity tests (and deterministic ablations) can zero it.
+    dropout: float = 0.8
 
 
 @dataclass(frozen=True)

@@ -33,6 +33,7 @@ class FullSubNet(nn.Module):
             num_layers=2,
             sequence_model=c.sequence_model,
             output_activate_function=fsn.fb_output_activate_function,
+            dropout=fsn.dropout,
             use_pallas=c.use_pallas_lstm,
             name="fb_model",
         )
@@ -44,6 +45,7 @@ class FullSubNet(nn.Module):
             num_layers=2,
             sequence_model=c.sequence_model,
             output_activate_function=fsn.sb_output_activate_function,
+            dropout=fsn.dropout,
             use_pallas=c.use_pallas_lstm,
             name="sb_model",
         )
@@ -52,13 +54,29 @@ class FullSubNet(nn.Module):
         self.look_ahead = fsn.look_ahead
         self.norm = norm_wrapper(fsn.norm_type)
 
-    def __call__(self, noisy_mag: jnp.ndarray, train: bool = False):
+    def __call__(self, noisy_mag: jnp.ndarray, train: bool = False,
+                 valid_frames=None):
         """[B, F, T] (or [B, 1, F, T]) noisy magnitudes -> [B, F, T, 2] cRM.
 
         reference: models.py:626-672.
+
+        ``valid_frames`` (traced scalar, optional): the input is a
+        longer-than-utterance padded buffer whose first ``valid_frames``
+        frames are real.  Frames at/after it are zeroed and excluded
+        from the offline norms' statistics (count = valid_frames +
+        look_ahead, matching the exact-length run where the only trailing
+        frames are the look_ahead zeros) — so a causal sequence model
+        produces the exact-length run's outputs on the valid prefix.
+        Output frames at/after ``valid_frames`` are garbage by contract;
+        callers crop them (enhance.py length bucketing).
         """
         if noisy_mag.ndim == 3:
             noisy_mag = noisy_mag[:, None]
+        if valid_frames is not None:
+            valid_frames = jnp.asarray(valid_frames)
+            noisy_mag = noisy_mag * (
+                jnp.arange(noisy_mag.shape[-1]) < valid_frames
+            ).astype(noisy_mag.dtype)
         # bf16 compute path: activations in bf16, norm statistics and the
         # RNN carries in f32 (ops/norms.py, ops/rnn.py); output cast back
         compute_dtype = (
@@ -72,8 +90,16 @@ class FullSubNet(nn.Module):
         B, C, F, T = noisy_mag.shape
         assert C == 1, f"{type(self).__name__} takes the mag feature as inputs."
 
+        # stats over valid + look_ahead frames: the exact-length run's
+        # offline norms include its look_ahead zero-pad in the count
+        stat_frames = (
+            None if valid_frames is None else valid_frames + self.look_ahead
+        )
+
         # Fullband model
-        fb_input = self.norm(noisy_mag).reshape(B, C * F, T)
+        fb_input = self.norm(
+            noisy_mag, valid_frames=stat_frames
+        ).reshape(B, C * F, T)
         fb_output = self.fb_model(fb_input, train=train).reshape(B, 1, F, T)
 
         # Unfold fullband output [B, N=F, C, F_f, T]
@@ -89,7 +115,7 @@ class FullSubNet(nn.Module):
         )
 
         sb_input = jnp.concatenate([noisy_unfolded, fb_unfolded], axis=2)
-        sb_input = self.norm(sb_input)
+        sb_input = self.norm(sb_input, valid_frames=stat_frames)
         sb_input = sb_input.reshape(
             B * F,
             (self.sb_num_neighbors * 2 + 1) + (self.fb_num_neighbors * 2 + 1),

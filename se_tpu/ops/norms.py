@@ -147,17 +147,41 @@ def complex_batch_norm(
 # FullSubNet normalisations — reference: tools_for_model.py:880-1104
 # ---------------------------------------------------------------------------
 
-def offline_laplace_norm(x: jnp.ndarray) -> jnp.ndarray:
+def offline_laplace_norm(x: jnp.ndarray, valid_frames=None) -> jnp.ndarray:
     """Utterance-level mean norm, [B, C, F, T] (the config default).
 
     Statistics accumulate in f32 regardless of x.dtype (bf16 compute
-    path); the elementwise division runs in x.dtype."""
-    mu = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+    path); the elementwise division runs in x.dtype.
+
+    ``valid_frames`` (traced scalar, optional): statistics over the first
+    ``valid_frames`` time frames only, with that count as the denominator
+    — the pad-aware form that makes length-bucketed jit compiles exact on
+    the valid prefix (enhance.py; frames at/after ``valid_frames`` are
+    excluded from the sum AND the count, so trailing pad cannot rescale
+    the utterance — reference semantics: tools_for_model.py:997-1011
+    normalise the exact-length utterance)."""
+    if valid_frames is None:
+        mu = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+    else:
+        tmask = (
+            jnp.arange(x.shape[3]) < valid_frames
+        ).astype(jnp.float32)[None, None, None, :]
+        n = x.shape[1] * x.shape[2] * valid_frames.astype(jnp.float32)
+        mu = (
+            jnp.sum(
+                x.astype(jnp.float32) * tmask, axis=(1, 2, 3), keepdims=True
+            )
+            / n
+        )
     return x / (mu + 1e-5).astype(x.dtype)
 
 
-def cumulative_laplace_norm(x: jnp.ndarray) -> jnp.ndarray:
-    """Streaming mean norm via cumsum, [B, C, F, T] (f32 statistics)."""
+def cumulative_laplace_norm(x: jnp.ndarray, valid_frames=None) -> jnp.ndarray:
+    """Streaming mean norm via cumsum, [B, C, F, T] (f32 statistics).
+
+    ``valid_frames`` is accepted for signature uniformity with the
+    offline norms and ignored: the statistic is a causal prefix mean, so
+    trailing pad frames cannot influence the valid prefix."""
     B, C, F, T = x.shape
     xr = x.reshape(B * C, F, T)
     step_sum = jnp.sum(xr, axis=1, dtype=jnp.float32)  # [BC, T]
@@ -167,19 +191,36 @@ def cumulative_laplace_norm(x: jnp.ndarray) -> jnp.ndarray:
     return (xr / (cum_mean + EPSILON).astype(x.dtype)).reshape(B, C, F, T)
 
 
-def offline_gaussian_norm(x: jnp.ndarray) -> jnp.ndarray:
-    """Utterance zero-norm; std is unbiased like torch.std (f32 stats)."""
+def offline_gaussian_norm(x: jnp.ndarray, valid_frames=None) -> jnp.ndarray:
+    """Utterance zero-norm; std is unbiased like torch.std (f32 stats).
+
+    ``valid_frames``: pad-aware masked statistics, like
+    ``offline_laplace_norm`` (the output at masked frames is garbage by
+    contract — callers crop it)."""
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-    n = x.shape[1] * x.shape[2] * x.shape[3]
-    var = jnp.var(xf, axis=(1, 2, 3), keepdims=True) * n / max(n - 1, 1)
+    if valid_frames is None:
+        mu = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        n = x.shape[1] * x.shape[2] * x.shape[3]
+        var = jnp.var(xf, axis=(1, 2, 3), keepdims=True) * n / max(n - 1, 1)
+    else:
+        tmask = (
+            jnp.arange(x.shape[3]) < valid_frames
+        ).astype(jnp.float32)[None, None, None, :]
+        n = x.shape[1] * x.shape[2] * valid_frames.astype(jnp.float32)
+        mu = jnp.sum(xf * tmask, axis=(1, 2, 3), keepdims=True) / n
+        var = (
+            jnp.sum(jnp.square(xf - mu) * tmask, axis=(1, 2, 3),
+                    keepdims=True)
+            / jnp.maximum(n - 1, 1.0)
+        )
     return ((x - mu.astype(x.dtype))
             / (jnp.sqrt(var) + 1e-5).astype(x.dtype))
 
 
-def cumulative_layer_norm(x: jnp.ndarray) -> jnp.ndarray:
+def cumulative_layer_norm(x: jnp.ndarray, valid_frames=None) -> jnp.ndarray:
     """Online zero-norm via cumsums of x and x^2, [B, C, F, T]
-    (f32 statistics)."""
+    (f32 statistics).  ``valid_frames`` accepted-and-ignored (causal
+    prefix statistic, like cumulative_laplace_norm)."""
     B, C, F, T = x.shape
     xr = x.reshape(B * C, F, T)
     step_sum = jnp.sum(xr, axis=1, dtype=jnp.float32)

@@ -193,10 +193,12 @@ def test_enhance_cli_jit_bucketing_matches_eager(tmp_path):
 
 def test_enhance_cli_fullsubnet_jit_matches_eager(tmp_path):
     """FullSubNet's default offline_laplace_norm takes utterance-global
-    statistics, so the jit path must NOT zero-pad into the normalisation
-    (length bucketing would shrink mu and rescale every frame).  With the
-    per-exact-length jit the output must match eager everywhere, on a
-    non-whole-second file."""
+    statistics, so naive zero-pad bucketing would rescale every frame.
+    The pad-aware jit path (reflect tail + masked statistics via
+    ``valid_frames``, se_tpu/models/fullsubnet.py) buckets to whole
+    seconds and must still match eager on everything but the final
+    analysis window, on non-whole-second files.  Two different lengths
+    in one invocation share the same bucket compile."""
     from se_tpu.data.synth import write_wav, read_wav
     from se_tpu.config import Config
     from se_tpu.train.state import create_train_state
@@ -209,8 +211,11 @@ def test_enhance_cli_fullsubnet_jit_matches_eager(tmp_path):
     save_checkpoint(str(ckpt_dir), state, epoch=1)
 
     rng = np.random.default_rng(4)
-    wav_in = tmp_path / "noisy.wav"
-    write_wav(str(wav_in), rng.standard_normal(20000) * 0.05, 16000)  # 1.25 s
+    lengths = {"a.wav": 20000, "b.wav": 24000}  # 1.25 s / 1.5 s: one bucket
+    for name, L in lengths.items():
+        write_wav(
+            str(tmp_path / name), rng.standard_normal(L) * 0.05, 16000
+        )
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -222,16 +227,22 @@ def test_enhance_cli_fullsubnet_jit_matches_eager(tmp_path):
                 sys.executable, "enhance.py",
                 "--checkpoint", str(ckpt_dir / "chkpt_1"),
                 "--model", "FullSubNet", flag,
-                str(wav_in), "--out-dir", str(out_dir),
+                str(tmp_path / "a.wav"), str(tmp_path / "b.wav"),
+                "--out-dir", str(out_dir),
             ],
-            cwd=ROOT, env=env, capture_output=True, text=True, timeout=1200,
+            cwd=ROOT, env=env, capture_output=True, text=True, timeout=1800,
         )
         assert r.returncode == 0, r.stderr[-3000:]
-        outs[mode], _ = read_wav(str(out_dir / "noisy.wav"))
-    assert len(outs["jit"]) == len(outs["eager"]) == 20000
-    # no padding enters the model, so jit must agree with eager everywhere
-    # (int16 WAV quantisation is the only tolerance)
-    np.testing.assert_allclose(outs["jit"], outs["eager"], atol=2e-4)
+        outs[mode] = {
+            name: read_wav(str(out_dir / name))[0] for name in lengths
+        }
+    for name, L in lengths.items():
+        got, want = outs["jit"][name], outs["eager"][name]
+        assert len(got) == len(want) == L
+        # identical up to the last analysis window (the padded run's
+        # trailing frames contribute to the final window's overlap-add)
+        tail = 512
+        np.testing.assert_allclose(got[:-tail], want[:-tail], atol=2e-4)
 
 
 def test_enhance_cli_streaming_matches_batch_interior(tmp_path):

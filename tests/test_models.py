@@ -112,3 +112,53 @@ def test_deterministic_forward():
     np.testing.assert_allclose(
         np.asarray(out1[2]), np.asarray(out2[2]), atol=0
     )
+
+
+@pytest.mark.parametrize(
+    "norm", ["offline_laplace_norm", "offline_gaussian_norm"]
+)
+def test_fullsubnet_valid_frames_masked_norm(norm):
+    """Pad-aware offline norms: running the model on a longer padded
+    buffer with ``valid_frames`` must reproduce the exact-length run on
+    the valid prefix (the enhance.py 1-s length-bucketing contract).
+    The pad frames are zeroed and the statistics count valid+look_ahead
+    frames, so the utterance cannot be rescaled by the pad."""
+    from se_tpu.config import FullSubNetConfig
+
+    cfg = small_cfg(model="FullSubNet", loss="MSE")
+    cfg = cfg.replace(
+        fullsubnet=FullSubNetConfig(
+            fb_model_hidden_size=32, sb_model_hidden_size=24,
+            sb_num_neighbors=3, norm_type=norm,
+        )
+    )
+    model = build_model(cfg)
+    variables = init_model(cfg, model)
+
+    rng = np.random.default_rng(11)
+    T_valid, T_pad = 23, 40
+    mag_exact = np.abs(
+        rng.standard_normal((2, 257, T_valid))
+    ).astype(np.float32)
+    mag_padded = np.concatenate(
+        [
+            mag_exact,
+            # garbage (not zeros) past the valid range: the model must
+            # mask it out of both the statistics and the sequence input
+            np.abs(rng.standard_normal((2, 257, T_pad - T_valid))).astype(
+                np.float32
+            ),
+        ],
+        axis=-1,
+    )
+
+    want = model.apply(variables, jnp.asarray(mag_exact), train=False)
+    got = model.apply(
+        variables, jnp.asarray(mag_padded), train=False,
+        valid_frames=jnp.asarray(T_valid),
+    )
+    assert got.shape == (2, 257, T_pad, 2)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, :T_valid], np.asarray(want),
+        atol=1e-5, rtol=1e-5,
+    )
