@@ -103,7 +103,11 @@ class OracleCRN(nn.Module):
 def export_params_to_jax(model: "OracleCRN") -> dict:
     import jax.numpy as jnp
 
-    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    # .copy(): torch shares .numpy() memory and JAX CPU can zero-copy it,
+    # so without a copy later in-place optimiser steps would mutate the
+    # "exported" jax arrays (trajectory tests export before training)
+    sd = {k: v.detach().numpy().copy()
+          for k, v in model.state_dict().items()}
     n_stage = len(model.kn) - 1
     params, bstats = {}, {}
     for i in range(n_stage):

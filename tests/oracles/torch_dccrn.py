@@ -107,7 +107,7 @@ class OracleDCCRN(nn.Module):
         imag = conv_i(r) + conv_r(i)
         return torch.cat([real, imag], 1)
 
-    def forward(self, x):
+    def forward(self, x, targets=None):
         xt = F.pad(x.unsqueeze(1), [self.win_len - self.win_inc] * 2)
         specs = F.conv1d(xt, self.fwd_kernel, stride=self.win_inc)
         dim = self.fft_len // 2 + 1
@@ -145,6 +145,25 @@ class OracleDCCRN(nn.Module):
             out = self.dec_act[idx](self.dec_bn[idx](out))
             out = out[..., 1:]
 
+        if self.masking_mode == "Direct(None make)":
+            # spectral mapping: net output IS the estimated spectrum
+            # (reference: models.py:246-255); loss pairs vs target specs
+            tt = F.pad(targets.unsqueeze(1), [self.win_len - self.win_inc] * 2)
+            tspecs = F.conv1d(tt, self.fwd_kernel, stride=self.win_inc)
+            tgt_real, tgt_imag = tspecs[:, :dim], tspecs[:, dim:]
+            out_real = F.pad(out[:, 0], [0, 0, 1, 0])
+            out_imag = F.pad(out[:, 1], [0, 0, 1, 0])
+            out_spec = torch.cat([out_real, out_imag], 1)
+            wav = F.conv_transpose1d(
+                out_spec, self.inv_kernel, stride=self.win_inc
+            )
+            t = self.window.repeat(1, 1, out_spec.size(-1)) ** 2
+            coff = F.conv_transpose1d(t, self.enframe, stride=self.win_inc)
+            wav = wav / (coff + 1e-8)
+            trim = self.win_len - self.win_inc
+            wav = torch.clamp(wav[..., trim:-trim].squeeze(1), -1, 1)
+            return out_real, tgt_real, out_imag, tgt_imag, wav
+
         mask_real = F.pad(out[:, 0], [0, 0, 1, 0])
         mask_imag = F.pad(out[:, 1], [0, 0, 1, 0])
         mask_mags = (mask_real**2 + mask_imag**2) ** 0.5
@@ -170,7 +189,11 @@ def export_params_to_jax(model: "OracleDCCRN") -> dict:
     """Map oracle weights onto the se_tpu DCCRN parameter tree."""
     import jax.numpy as jnp
 
-    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    # .copy(): torch shares .numpy() memory and JAX CPU can zero-copy it,
+    # so without a copy later in-place optimiser steps would mutate the
+    # "exported" jax arrays (trajectory tests export before training)
+    sd = {k: v.detach().numpy().copy()
+          for k, v in model.state_dict().items()}
     n_stage = len(model.kernel_num) - 1
     params = {}
     bstats = {}

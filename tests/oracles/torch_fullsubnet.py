@@ -18,13 +18,14 @@ class OracleSequenceModel(nn.Module):
     (reference: tools_for_model.py:726-795)."""
 
     def __init__(self, input_size, output_size, hidden_size, num_layers=2,
-                 sequence_model="LSTM", output_activate_function=None):
+                 sequence_model="LSTM", output_activate_function=None,
+                 dropout=0.8):
         super().__init__()
         rnn_cls = {"LSTM": nn.LSTM, "GRU": nn.GRU}[sequence_model]
         self.sequence_model = rnn_cls(
             input_size=input_size, hidden_size=hidden_size,
             num_layers=num_layers, batch_first=True, bidirectional=False,
-            dropout=0.8,
+            dropout=dropout,
         )
         self.fc_output_layer = nn.Linear(hidden_size, output_size)
         self.activate = {
@@ -69,14 +70,17 @@ class OracleFullSubNet(nn.Module):
 
     def __init__(self, num_freqs=257, look_ahead=2, sb_num_neighbors=15,
                  fb_num_neighbors=0, fb_hidden=512, sb_hidden=384,
-                 sequence_model="LSTM", fb_activate="ReLU", sb_activate=None):
+                 sequence_model="LSTM", fb_activate="ReLU", sb_activate=None,
+                 dropout=0.8):
         super().__init__()
         self.fb_model = OracleSequenceModel(
-            num_freqs, num_freqs, fb_hidden, 2, sequence_model, fb_activate
+            num_freqs, num_freqs, fb_hidden, 2, sequence_model, fb_activate,
+            dropout=dropout,
         )
         self.sb_model = OracleSequenceModel(
             (sb_num_neighbors * 2 + 1) + (fb_num_neighbors * 2 + 1),
             2, sb_hidden, 2, sequence_model, sb_activate,
+            dropout=dropout,
         )
         self.sb_num_neighbors = sb_num_neighbors
         self.fb_num_neighbors = fb_num_neighbors
@@ -115,7 +119,11 @@ def export_params_to_jax(model: "OracleFullSubNet") -> dict:
     """Map oracle weights onto the se_tpu FullSubNet parameter tree."""
     import jax.numpy as jnp
 
-    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    # .copy(): torch shares .numpy() memory and JAX CPU can zero-copy it,
+    # so without a copy later in-place optimiser steps would mutate the
+    # "exported" jax arrays (trajectory tests export before training)
+    sd = {k: v.detach().numpy().copy()
+          for k, v in model.state_dict().items()}
 
     def seq(prefix):
         rnn = {}
