@@ -33,6 +33,10 @@ BASELINES = {
     "crn": {"train": 1.300, "enhance": 3.797},
     "fullsubnet": {"train": 0.153, "enhance": 0.541},
     "fullsubnet_gru": {"train": 0.183, "enhance": 0.541},
+    # perceptual trainer modes, measured round 4 same-day with a plain
+    # re-measure for drift context (BASELINE.md)
+    "dccrn_lms": {"train": 0.267},
+    "dccrn_pmsqe": {"train": 0.268},
 }
 
 DCCRN_TRAIN_BATCH_F32 = 112      # f32 single-chip ceiling (docs/PERF.md)
@@ -85,6 +89,33 @@ def _bench_enhance(cfg, batch, rng):
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
         m, out = eval_step(state, noisy, clean)
+    float(m["loss"])
+    return batch / ((time.perf_counter() - t0) / N_ITERS)
+
+
+def _bench_train_mesh(cfg, batch, key, rng):
+    """The SPMD data-parallel train step (parallel/dp.py) on a 1-device
+    mesh — measures the sharding machinery (NamedSharding plumbing +
+    shard_map-wrapped Pallas recurrences) against plain jit on the same
+    chip, so multi-chip throughput extrapolation has a measured base."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from se_tpu.train import create_train_state
+    from se_tpu.parallel.dp import make_parallel_train_step
+
+    model, state = create_train_state(cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("data",))
+    L = cfg.stft.fs * 3
+    noisy = jnp.asarray((rng.standard_normal((batch, L)) * 0.1).astype(np.float32))
+    clean = jnp.asarray((rng.standard_normal((batch, L)) * 0.1).astype(np.float32))
+    step = make_parallel_train_step(cfg, model, mesh)
+    state = jax.device_put(state)
+    state, m = step(state, noisy, clean, key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        state, m = step(state, noisy, clean, key)
     float(m["loss"])
     return batch / ((time.perf_counter() - t0) / N_ITERS)
 
@@ -223,6 +254,31 @@ def main():
     _emit(
         "dccrn_train_bf16_utterances_per_sec_per_chip",
         lambda: _bench_train(dccrn16, DCCRN_TRAIN_BATCH_BF16, key, rng),
+        BASELINES["dccrn"]["train"],
+    )
+
+    # -- DCCRN perceptual trainer modes (reference trainer.py:45-82):
+    #    SDR main loss + LMS / PMSQE perceptual term.  Baselines are the
+    #    torch reference trainers with the loss restatements in
+    #    tools/torch_perceptual.py (BASELINE.md) --------------------------
+    dccrn_lms16 = dccrn16.replace(perceptual="LMS")
+    dccrn_pmsqe16 = dccrn16.replace(perceptual="PMSQE")
+    _emit(
+        "dccrn_lms_train_bf16_utterances_per_sec_per_chip",
+        lambda: _bench_train(dccrn_lms16, DCCRN_TRAIN_BATCH_BF16, key, rng),
+        BASELINES["dccrn_lms"]["train"],
+    )
+    _emit(
+        "dccrn_pmsqe_train_bf16_utterances_per_sec_per_chip",
+        lambda: _bench_train(dccrn_pmsqe16, DCCRN_TRAIN_BATCH_BF16, key, rng),
+        BASELINES["dccrn_pmsqe"]["train"],
+    )
+
+    # -- mesh-path overhead: the SPMD data-parallel step on a 1-device
+    #    mesh vs the plain-jit headline above (docs/PERF.md) --------------
+    _emit(
+        "dccrn_train_bf16_mesh_utterances_per_sec_per_chip",
+        lambda: _bench_train_mesh(dccrn16, DCCRN_TRAIN_BATCH_BF16, key, rng),
         BASELINES["dccrn"]["train"],
     )
 

@@ -164,6 +164,46 @@ def main_fullsubnet(sequence_model: str = "LSTM"):
     _time_steps(step, infer, B)
 
 
+def main_dccrn_perceptual(perceptual: str = "LMS"):
+    """Reference DCCRN perceptual trainer (trainer.py:45-82): SDR main
+    loss + LMS/PMSQE perceptual term, combined (r1*m + r2*p)/(r1+r2).
+    The loss restatements live in tools/torch_perceptual.py (LMS keeps
+    the reference's per-utterance loop + per-call filterbank rebuild)."""
+    from tools.torch_perceptual import lms_loss_torch, pmsqe_loss_torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    model = OracleDCCRN()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    B, L = 10, 48000
+    x = torch.randn(B, L) * 0.1
+    y = torch.randn(B, L) * 0.1
+
+    def step():
+        out_real, out_imag, wav = model(x)
+        m_loss = -torch_sdr(y, wav)
+        if perceptual == "LMS":
+            # clean mags via the model's own conv-STFT path
+            # (reference: models.py:305-312)
+            yt = torch.nn.functional.pad(
+                y.unsqueeze(1), [model.win_len - model.win_inc] * 2)
+            tspecs = torch.nn.functional.conv1d(
+                yt, model.fwd_kernel, stride=model.win_inc)
+            dim = model.fft_len // 2 + 1
+            clean_mags = torch.sqrt(
+                tspecs[:, :dim] ** 2 + tspecs[:, dim:] ** 2 + 1e-7)
+            est_mags = torch.sqrt(out_real**2 + out_imag**2 + 1e-7)
+            p_loss = lms_loss_torch(clean_mags, est_mags)
+        else:
+            p_loss = pmsqe_loss_torch(y, wav)
+        loss = (m_loss + p_loss) / 2
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    _time_steps(step, lambda: model(x), B)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "dccrn"
     if which == "crn":
@@ -172,5 +212,9 @@ if __name__ == "__main__":
         main_fullsubnet()
     elif which == "fullsubnet-gru":
         main_fullsubnet("GRU")
+    elif which == "dccrn-lms":
+        main_dccrn_perceptual("LMS")
+    elif which == "dccrn-pmsqe":
+        main_dccrn_perceptual("PMSQE")
     else:
         main()

@@ -7,6 +7,8 @@ production size.
 
 Run: python tools/train_demo_tpu.py [n_steps] [compute_dtype] [model]
 model: DCCRN (default) | CRN | FullSubNet | FullSubNetGRU
+       | DCCRN-LMS | DCCRN-PMSQE   (perceptual trainer modes,
+       reference trainer.py:45-82: SDR main loss + perceptual term)
 """
 
 import sys
@@ -60,6 +62,10 @@ def main():
         )
     elif model_name == "CRN":
         cfg = Config(model="CRN", lstm="real", loss="SI-SNR",
+                     compute_dtype=compute_dtype)
+    elif model_name.startswith("DCCRN-"):
+        # perceptual trainer: SDR main loss + LMS/PMSQE perceptual term
+        cfg = Config(loss="SDR", perceptual=model_name.split("-", 1)[1],
                      compute_dtype=compute_dtype)
     else:
         cfg = Config(loss="SI-SNR", compute_dtype=compute_dtype)
