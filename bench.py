@@ -102,6 +102,7 @@ def _bench_train_mesh(cfg, batch, key, rng):
     import jax.numpy as jnp
     from jax.sharding import Mesh
     from se_tpu.train import create_train_state
+    from se_tpu.parallel import replicate
     from se_tpu.parallel.dp import make_parallel_train_step
 
     model, state = create_train_state(cfg)
@@ -110,7 +111,12 @@ def _bench_train_mesh(cfg, batch, key, rng):
     noisy = jnp.asarray((rng.standard_normal((batch, L)) * 0.1).astype(np.float32))
     clean = jnp.asarray((rng.standard_normal((batch, L)) * 0.1).astype(np.float32))
     step = make_parallel_train_step(cfg, model, mesh)
-    state = jax.device_put(state)
+    # the state MUST be placed with the step's replicated NamedSharding
+    # before the first call: a bare device_put commits it as
+    # SingleDeviceSharding, so the carried state (NamedSharding) would be
+    # a second jit signature and trigger an ~18 s recompile mid-loop
+    # (measured, docs/PERF.md "mesh overhead")
+    state = replicate(mesh, state)
     state, m = step(state, noisy, clean, key)
     float(m["loss"])
     t0 = time.perf_counter()

@@ -25,6 +25,7 @@ def main():
     from se_tpu.config import Config
     from se_tpu.train import create_train_state, make_train_step
     from se_tpu.train.steps import make_eval_step
+    from se_tpu.parallel import replicate
     from se_tpu.parallel.dp import (
         make_parallel_train_step, make_parallel_eval_step,
     )
@@ -63,13 +64,16 @@ def main():
     r = {}
     r["train_jit"] = bench_train(make_train_step(cfg, model),
                                  create_train_state(cfg)[1])
+    # replicate() (NamedSharding) placement, NOT bare device_put: the
+    # carried state returns NamedSharding-replicated, and a mismatched
+    # first-call sharding is a second jit signature (= mid-loop recompile)
     r["train_mesh1"] = bench_train(
         make_parallel_train_step(cfg, model, mesh),
-        jax.device_put(create_train_state(cfg)[1]),
+        replicate(mesh, create_train_state(cfg)[1]),
     )
     r["eval_jit"] = bench_eval(make_eval_step(cfg, model), state)
     r["eval_mesh1"] = bench_eval(
-        make_parallel_eval_step(cfg, model, mesh), state)
+        make_parallel_eval_step(cfg, model, mesh), replicate(mesh, state))
 
     for k, v in r.items():
         print(f"{k:12s}: {v:8.1f} utt/s", flush=True)
