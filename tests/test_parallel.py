@@ -69,6 +69,14 @@ def test_dp_multiple_steps_keep_state_replicated():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+    # replicate()-placed initial state + carried NamedSharding outputs are
+    # ONE jit signature.  A bare device_put initial state makes the first
+    # carried call a second signature, i.e. a full mid-training recompile
+    # (~18.5 s for DCCRN on the v5e — docs/PERF.md "mesh overhead").
+    assert pstep._cache_size() == 1, (
+        "carried mesh train step recompiled: initial-state sharding does "
+        "not match the carried state's NamedSharding"
+    )
 
 
 def _loss_of(step, *args):
