@@ -147,6 +147,30 @@ def test_dp_fullsubnet_fused_cells_under_mesh(seq):
     assert np.isfinite(np.asarray(outputs)).all()
 
 
+@pytest.mark.parametrize("perceptual", ["LMS", "PMSQE"])
+def test_dp_perceptual_variants_under_mesh(perceptual):
+    """The perceptual trainer modes (reference trainer.py:45-82) share the
+    step body with the single-device path, so they must run and match it
+    under the data-parallel mesh too — the mel/bark machinery traces in
+    global-view jit over a sharded batch."""
+    cfg = small_cfg(model="DCCRN", loss="SDR", perceptual=perceptual)
+    model, state = create_train_state(cfg)
+    noisy, clean = _batch(cfg, batch=8)
+    key = jax.random.PRNGKey(0)
+    _, m_single = make_train_step(cfg, model)(state, noisy, clean, key)
+
+    model2, state2 = create_train_state(cfg)
+    mesh = make_mesh()
+    pstep = make_parallel_train_step(cfg, model2, mesh)
+    state2 = replicate(mesh, state2)
+    noisy_s, clean_s = shard_batch(mesh, noisy, clean)
+    state2, m_par = pstep(state2, noisy_s, clean_s, key)
+    for k in ("loss", "main_loss", "perceptual_loss"):
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_par[k]), rtol=2e-4, err_msg=k
+        )
+
+
 def test_dp_grad_accum_with_fused_cells():
     """grad_accum micro-batching composes with the shard_map-wrapped
     kernels (shard_map inside lax.scan inside pjit)."""
