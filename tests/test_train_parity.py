@@ -88,6 +88,33 @@ def torch_mse(a, b):
     return torch.mean((a - b) ** 2)
 
 
+def torch_lms(clean_mags, est_mags, fft_size=512, fs=16000):
+    """LMS restated in torch with the framework's documented time-major
+    frame orientation (se_tpu/losses/lms.py module docstring; the
+    reference's raw ``view(-1, F)`` on [F, T] arrays scrambles rows —
+    that quirk's forward parity is covered by test_perceptual_lms.py via
+    ``compat_scrambled``).  Matches lms_loss to ~1e-7 relative, so its
+    autograd is a valid gradient oracle for the perceptual step."""
+    from se_tpu.losses.lms import mel_filterbank
+
+    F = fft_size // 2 + 1
+    banks = [
+        torch.from_numpy(np.ascontiguousarray(mel_filterbank(s, fft_size, fs).T))
+        for s in (16, 32, 64)
+    ]
+
+    def transform(m):
+        spec = m.transpose(-1, -2).reshape(-1, F) / fft_size
+        return [torch.log(torch.clamp(spec @ fb, min=0.0) + 1e-7) for fb in banks]
+
+    pv_t, pv_p = transform(clean_mags), transform(est_mags)
+    d = [
+        torch.mean(torch.sqrt(torch.mean((p - t) ** 2, -1) + 1e-7))
+        for t, p in zip(pv_t, pv_p)
+    ]
+    return torch.mean(torch.stack(d))
+
+
 # --- the five trainer variants as (oracle factory, losses, cfg) ----------
 
 
@@ -181,12 +208,55 @@ def _fullsubnet_case(seq):
     return oracle, cfg, export_params_to_jax, loss_fn, 4
 
 
+def _dccrn_perceptual_case(perceptual):
+    """The perceptual trainer variant (reference trainer.py:45-82):
+    SDR main loss + LMS/PMSQE perceptual term at r1 = r2 = 1.  Pins the
+    backward through the mel/bark machinery on top of the full model
+    stack.  The torch perceptual restatements match the framework
+    forwards to ~1e-7 relative (torch_lms above; pmsqe_loss_torch in
+    tools/torch_perceptual.py mirrors se_tpu/losses/pmsqe.py)."""
+    from tests.oracles.torch_dccrn import OracleDCCRN, export_params_to_jax
+
+    torch.manual_seed(5)
+    oracle = OracleDCCRN(kernel_num=_TINY_KN, rnn_units=32)
+    cfg = small_cfg(
+        model="DCCRN", masking_mode="E", lstm="complex", loss="SDR",
+        perceptual=perceptual,
+    )
+
+    def loss_fn(m, x, y):
+        import torch.nn.functional as tF
+
+        out_real, out_imag, wav = m(x, y)
+        m_loss = torch_neg_sdr(y, wav)
+        if perceptual == "LMS":
+            # clean mags from the model's own conv-STFT path
+            # (reference models.py:305-312; steps.py perceptual branch)
+            dim = m.fft_len // 2 + 1
+            tt = tF.pad(y.unsqueeze(1), [m.win_len - m.win_inc] * 2)
+            tspecs = tF.conv1d(tt, m.fwd_kernel, stride=m.win_inc)
+            clean_mags = torch.sqrt(
+                tspecs[:, :dim] ** 2 + tspecs[:, dim:] ** 2 + 1e-7
+            )
+            est_mags = torch.sqrt(out_real**2 + out_imag**2 + 1e-7)
+            p_loss = torch_lms(clean_mags, est_mags)
+        else:
+            from tools.torch_perceptual import pmsqe_loss_torch
+
+            p_loss = pmsqe_loss_torch(y, wav)
+        return (m_loss + p_loss) / 2  # r1 = r2 = 1 (trainer.py:66-69)
+
+    return oracle, cfg, export_params_to_jax, loss_fn, 5
+
+
 CASES = {
     "dccrn_mask_sdr": _dccrn_mask_case,
     "dccrn_direct_mse": _dccrn_direct_case,
     "crn_mask_mse": _crn_case,
     "fullsubnet_lstm": lambda: _fullsubnet_case("LSTM"),
     "fullsubnet_gru": lambda: _fullsubnet_case("GRU"),
+    "dccrn_lms": lambda: _dccrn_perceptual_case("LMS"),
+    "dccrn_pmsqe": lambda: _dccrn_perceptual_case("PMSQE"),
 }
 
 
@@ -424,7 +494,7 @@ def test_adam_bf16_mu_matches_f32_direction():
 
 @pytest.mark.parametrize(
     "case", ["dccrn_mask_sdr", "dccrn_direct_mse", "crn_mask_mse",
-             "fullsubnet_lstm", "fullsubnet_gru"],
+             "fullsubnet_lstm", "fullsubnet_gru", "dccrn_lms"],
 )
 def test_adam_trajectory_integration(case):
     """10 weight-identical torch.optim.Adam steps vs the real
