@@ -92,6 +92,15 @@ class Trainer:
 
             axis = cfg.parallel.data_axis
             self.mesh = make_mesh(cfg.parallel.num_devices, axis=axis)
+            n_dev = int(self.mesh.devices.size)
+            b, a = cfg.train.batch, cfg.train.grad_accum
+            if b % (a * n_dev):
+                raise ValueError(
+                    f"train.batch={b} must be divisible by grad_accum x "
+                    f"mesh devices ({a} x {n_dev}): each of the {a} "
+                    f"micro-batches is sharded over the {n_dev}-device "
+                    f"'{axis}' mesh axis"
+                )
             self.train_step = make_parallel_train_step(
                 cfg, self.model, self.mesh, axis=axis
             )

@@ -249,3 +249,16 @@ def test_composition_mesh_mixing_perceptual_resume(tmp_path):
     assert os.path.exists(os.path.join(t2.dir_to_save, "chkpt_2"))
     assert os.path.exists(os.path.join(t2.dir_to_save, "chkpt_opt"))
     assert np.all(np.isfinite(mse2)) and mse2[1] != 0
+
+
+def test_mesh_trainer_rejects_indivisible_batch(tmp_path):
+    """A mesh-mode Trainer whose train.batch does not divide over
+    grad_accum x devices must fail at setup with a clear message, not a
+    mid-run sharding error."""
+    cfg, train_data, valid_data = _make_cfg(tmp_path)
+    import dataclasses
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch=6))
+    t = Trainer(cfg, train_data, valid_data, use_mesh=True,
+                score_fn=_fake_scores)
+    with pytest.raises(ValueError, match="divisible by grad_accum"):
+        t.setup()
