@@ -56,17 +56,21 @@ FSN_ENHANCE_BATCH = 96
 N_ITERS = 20
 
 
-def _bench_train(cfg, batch, key, rng):
+def _make_batch(cfg, batch, rng):
     import jax.numpy as jnp
-    from se_tpu.train import create_train_state, make_train_step
 
-    model, state = create_train_state(cfg)
     L = cfg.stft.fs * 3
     noisy = jnp.asarray((rng.standard_normal((batch, L)) * 0.1).astype(np.float32))
     clean = jnp.asarray((rng.standard_normal((batch, L)) * 0.1).astype(np.float32))
-    step = make_train_step(cfg, model)
+    return noisy, clean
+
+
+def _timed_train_rate(step, state, batch, noisy, clean, key):
+    """One warm-up call (compile), then N_ITERS timed carried-state steps.
+    Synchronisation is a scalar float fetch — block_until_ready is
+    unreliable on the tunnelled axon platform (docs/PERF.md)."""
     state, m = step(state, noisy, clean, key)
-    float(m["loss"])  # sync (block_until_ready unreliable on axon)
+    float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
         state, m = step(state, noisy, clean, key)
@@ -74,15 +78,21 @@ def _bench_train(cfg, batch, key, rng):
     return batch / ((time.perf_counter() - t0) / N_ITERS)
 
 
+def _bench_train(cfg, batch, key, rng):
+    from se_tpu.train import create_train_state, make_train_step
+
+    model, state = create_train_state(cfg)
+    noisy, clean = _make_batch(cfg, batch, rng)
+    step = make_train_step(cfg, model)
+    return _timed_train_rate(step, state, batch, noisy, clean, key)
+
+
 def _bench_enhance(cfg, batch, rng):
-    import jax.numpy as jnp
     from se_tpu.train import create_train_state
     from se_tpu.train.steps import make_eval_step
 
     model, state = create_train_state(cfg)
-    L = cfg.stft.fs * 3
-    noisy = jnp.asarray((rng.standard_normal((batch, L)) * 0.1).astype(np.float32))
-    clean = jnp.asarray((rng.standard_normal((batch, L)) * 0.1).astype(np.float32))
+    noisy, clean = _make_batch(cfg, batch, rng)
     eval_step = make_eval_step(cfg, model)
     m, out = eval_step(state, noisy, clean)
     float(m["loss"])
@@ -99,7 +109,6 @@ def _bench_train_mesh(cfg, batch, key, rng):
     shard_map-wrapped Pallas recurrences) against plain jit on the same
     chip, so multi-chip throughput extrapolation has a measured base."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import Mesh
     from se_tpu.train import create_train_state
     from se_tpu.parallel import replicate
@@ -107,9 +116,7 @@ def _bench_train_mesh(cfg, batch, key, rng):
 
     model, state = create_train_state(cfg)
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("data",))
-    L = cfg.stft.fs * 3
-    noisy = jnp.asarray((rng.standard_normal((batch, L)) * 0.1).astype(np.float32))
-    clean = jnp.asarray((rng.standard_normal((batch, L)) * 0.1).astype(np.float32))
+    noisy, clean = _make_batch(cfg, batch, rng)
     step = make_parallel_train_step(cfg, model, mesh)
     # the state MUST be placed with the step's replicated NamedSharding
     # before the first call: a bare device_put commits it as
@@ -117,13 +124,7 @@ def _bench_train_mesh(cfg, batch, key, rng):
     # a second jit signature and trigger an ~18 s recompile mid-loop
     # (measured, docs/PERF.md "mesh overhead")
     state = replicate(mesh, state)
-    state, m = step(state, noisy, clean, key)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        state, m = step(state, noisy, clean, key)
-    float(m["loss"])
-    return batch / ((time.perf_counter() - t0) / N_ITERS)
+    return _timed_train_rate(step, state, batch, noisy, clean, key)
 
 
 def _emit(metric, thunk, baseline, retries: int = 2):

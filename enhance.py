@@ -250,11 +250,28 @@ def main():
         offline_norm = cfg.model == "FullSubNet" and cfg.fullsubnet.norm_type.startswith("offline")
         bucket = cfg.stft.fs
         jitted = jax.jit(enhance)
+        exact = enhance  # un-jitted closure for the ultra-short fallback
+        # Ultra-short files skip bucketing and run at their exact length
+        # (bit-identical to eager; a handful of tiny-shape compiles at
+        # most).  FullSubNet: its torch.stft-style framing reflect-pads
+        # fft_len/2 samples at BOTH edges, and when the file is shorter
+        # than that pad the reflection bounces back and forth through
+        # the whole signal — no bucketed buffer can reproduce it.
+        # Conv-STFT models: zero-pad bucketing is exact except in the
+        # final analysis window, and a sub-win_len file sits ENTIRELY
+        # inside that window, so bucketing would buy nothing but a
+        # whole-file deviation.
+        short_limit = (
+            cfg.stft.fft_len // 2 if cfg.model == "FullSubNet"
+            else cfg.stft.win_len
+        )
 
         if offline_norm:
             def enhance(wav):  # noqa: F811 — wraps the eager closure above
                 L = int(wav.shape[-1])
                 margin = cfg.stft.fft_len // 2
+                if L <= short_limit:
+                    return np.asarray(exact(wav))[:L]
                 padded = -(-(L + margin) // bucket) * bucket
                 wav = np.asarray(wav)
                 # torch.stft's end reflection: x[L+k] = x[L-2-k]
@@ -267,7 +284,9 @@ def main():
                 return np.asarray(y)[:L]
         else:
             def enhance(wav):  # noqa: F811 — wraps the eager closure above
-                L = wav.shape[-1]
+                L = int(wav.shape[-1])
+                if L <= short_limit:
+                    return np.asarray(exact(wav))[:L]
                 pad = -(-L // bucket) * bucket - L
                 y = jitted(jnp.pad(wav, (0, pad)))
                 return np.asarray(y)[:L]

@@ -211,7 +211,11 @@ def test_enhance_cli_fullsubnet_jit_matches_eager(tmp_path):
     save_checkpoint(str(ckpt_dir), state, epoch=1)
 
     rng = np.random.default_rng(4)
-    lengths = {"a.wav": 20000, "b.wav": 24000}  # 1.25 s / 1.5 s: one bucket
+    # 1.25 s / 1.5 s share one bucket; 100 samples is shorter than the
+    # fft_len/2 reflect pad, where no bucketed buffer can reproduce the
+    # multi-bounce reflection — the jit path must fall back to the
+    # exact-length eager run for it
+    lengths = {"a.wav": 20000, "b.wav": 24000, "c.wav": 100}
     for name, L in lengths.items():
         write_wav(
             str(tmp_path / name), rng.standard_normal(L) * 0.05, 16000
@@ -228,6 +232,7 @@ def test_enhance_cli_fullsubnet_jit_matches_eager(tmp_path):
                 "--checkpoint", str(ckpt_dir / "chkpt_1"),
                 "--model", "FullSubNet", flag,
                 str(tmp_path / "a.wav"), str(tmp_path / "b.wav"),
+                str(tmp_path / "c.wav"),
                 "--out-dir", str(out_dir),
             ],
             cwd=ROOT, env=env, capture_output=True, text=True, timeout=1800,
@@ -240,9 +245,13 @@ def test_enhance_cli_fullsubnet_jit_matches_eager(tmp_path):
         got, want = outs["jit"][name], outs["eager"][name]
         assert len(got) == len(want) == L
         # identical up to the last analysis window (the padded run's
-        # trailing frames contribute to the final window's overlap-add)
-        tail = 512
-        np.testing.assert_allclose(got[:-tail], want[:-tail], atol=2e-4)
+        # trailing frames contribute to the final window's overlap-add);
+        # the ultra-short file runs the exact-length path, so it matches
+        # everywhere
+        tail = 512 if L > 512 else 0
+        np.testing.assert_allclose(
+            got[: L - tail], want[: L - tail], atol=2e-4
+        )
 
 
 def test_enhance_cli_streaming_matches_batch_interior(tmp_path):
