@@ -164,8 +164,14 @@ def test_enhance_cli_jit_bucketing_matches_eager(tmp_path):
     save_checkpoint(str(ckpt_dir), state, epoch=1)
 
     rng = np.random.default_rng(2)
-    wav_in = tmp_path / "noisy.wav"
-    write_wav(str(wav_in), rng.standard_normal(20000) * 0.05, 16000)  # 1.25 s
+    # 1.25 s (bucketed) + a sub-win_len file, which sits entirely inside
+    # the bucketing contract's final-window zone and must therefore take
+    # the exact-length path (bit-identical to eager)
+    lengths = {"noisy.wav": 20000, "tiny.wav": 300}
+    for name, L in lengths.items():
+        write_wav(
+            str(tmp_path / name), rng.standard_normal(L) * 0.05, 16000
+        )
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -177,18 +183,24 @@ def test_enhance_cli_jit_bucketing_matches_eager(tmp_path):
                 sys.executable, "enhance.py",
                 "--checkpoint", str(ckpt_dir / "chkpt_1"),
                 "--model", "CRN", "--lstm", "real", flag,
-                str(wav_in), "--out-dir", str(out_dir),
+                str(tmp_path / "noisy.wav"), str(tmp_path / "tiny.wav"),
+                "--out-dir", str(out_dir),
             ],
             cwd=ROOT, env=env, capture_output=True, text=True, timeout=1200,
         )
         assert r.returncode == 0, r.stderr[-3000:]
-        outs[mode], _ = read_wav(str(out_dir / "noisy.wav"))
-    assert len(outs["jit"]) == len(outs["eager"]) == 20000
-    # identical up to the last analysis window (zero-pad tail influence)
-    tail = 512
-    np.testing.assert_allclose(
-        outs["jit"][:-tail], outs["eager"][:-tail], atol=2e-4
-    )
+        outs[mode] = {
+            name: read_wav(str(out_dir / name))[0] for name in lengths
+        }
+    for name, L in lengths.items():
+        got, want = outs["jit"][name], outs["eager"][name]
+        assert len(got) == len(want) == L
+        # identical up to the last analysis window (zero-pad tail
+        # influence); the sub-win_len file matches everywhere
+        tail = 512 if L > 512 else 0
+        np.testing.assert_allclose(
+            got[: L - tail], want[: L - tail], atol=2e-4
+        )
 
 
 def test_enhance_cli_fullsubnet_jit_matches_eager(tmp_path):
