@@ -159,10 +159,58 @@ def generate_corpus(
     return log_path
 
 
+def pack_corpus(
+    mode: str,
+    out_path: str,
+    seconds: float = 3.0,
+    fs: int = 16000,
+    root: str = ".",
+) -> str:
+    """Pack a synthesized wav tree into the ``[N, 2, T]`` float32 ``.npy``
+    the dataloader consumes (rows: noisy, clean).
+
+    The reference documents this array (README.md:37-41) but ships no
+    packing script — users build it by hand from the generator's output.
+    This reads the TSV log ``generate_corpus`` wrote (clean path, noise
+    path, SNR, noisy name), front-crops each pair to ``seconds * fs``
+    samples and zero-pads shorter files, so the result feeds
+    ``train_interface.py --train-data`` / ``WaveDataset`` directly.
+    """
+    T = int(round(seconds * fs))
+    log_path = os.path.join(root, mode, "log.tsv")
+    noisy_dir = os.path.join(root, mode, "noisy")
+
+    def fit(x: np.ndarray) -> np.ndarray:
+        x = x[:T]
+        return x if len(x) == T else np.pad(x, (0, T - len(x)))
+
+    pairs = []
+    with open(log_path) as log:
+        for line in log:
+            cf, _nf, _snr, name = line.rstrip("\n").split("\t")
+            clean, _ = read_wav(cf, target_fs=fs)
+            noisy, _ = read_wav(os.path.join(noisy_dir, name), target_fs=fs)
+            pairs.append(np.stack([fit(noisy), fit(clean)]))
+    if not pairs:
+        raise ValueError(f"no entries in {log_path}")
+    np.save(out_path, np.stack(pairs).astype(np.float32))
+    return out_path
+
+
 def main(argv=None):
     """CLI: python -m se_tpu.data.synth [mode] [snr_csv] [fs]
-    (reference: generate_noisy_data.py:70-81)."""
+    (reference: generate_noisy_data.py:70-81), or
+    python -m se_tpu.data.synth pack [mode] [out.npy] [seconds] [fs]
+    to pack the generated wav tree into the training ``.npy``."""
     argv = argv if argv is not None else sys.argv[1:]
+    if argv and argv[0] == "pack":
+        mode = argv[1] if len(argv) > 1 else "train"
+        out = argv[2] if len(argv) > 2 else f"{mode}.npy"
+        seconds = float(argv[3]) if len(argv) > 3 else 3.0
+        fs = int(argv[4]) if len(argv) > 4 else 16000
+        path = pack_corpus(mode, out, seconds, fs)
+        print(f"wrote packed corpus: {path}")
+        return
     mode = argv[0] if argv else "train"
     snrs = [float(s) for s in (argv[1] if len(argv) > 1 else "0,5").split(",")]
     fs = int(argv[2]) if len(argv) > 2 else 16000

@@ -122,6 +122,38 @@ def test_synth_cli(tmp_path):
     log = generate_corpus("valid", [0.0, 5.0], 16000, root=str(tmp_path))
     assert len(os.listdir(tmp_path / "valid/noisy")) == 2
 
+    # pack the generated tree into the [N, 2, T] training .npy (the
+    # reference documents the array but ships no packer, README.md:37-41)
+    from se_tpu.data.synth import pack_corpus, read_wav, main as synth_main
+    from se_tpu.data import WaveDataset
+
+    out = pack_corpus(
+        "train", str(tmp_path / "train.npy"), seconds=1.0, fs=16000,
+        root=str(tmp_path),
+    )
+    arr = np.load(out)
+    assert arr.shape == (4, 2, 16000) and arr.dtype == np.float32
+    # rows are (noisy, clean): clean row 0 must round-trip c*.wav, the
+    # 8000-sample originals zero-padded to the 1-s crop
+    with open(tmp_path / "train" / "log.tsv") as f:
+        cf = f.readline().split("\t")[0]
+    want = read_wav(cf, 16000)[0]
+    np.testing.assert_allclose(arr[0, 1, :8000], want, atol=1e-4)
+    assert np.all(arr[0, :, 8000:] == 0)
+    assert not np.allclose(arr[0, 0, :8000], arr[0, 1, :8000])  # noisy differs
+    ds = WaveDataset(arr)  # feeds the dataloader directly
+    noisy0, clean0 = ds[0]
+    assert noisy0.shape == clean0.shape == (16000,)
+
+    # CLI subcommand form (cwd-relative root)
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        synth_main(["pack", "valid", "valid.npy", "1.0", "16000"])
+    finally:
+        os.chdir(cwd)
+    assert np.load(tmp_path / "valid.npy").shape == (2, 2, 16000)
+
 
 def test_trainer_mesh_mode(tmp_path):
     """Trainer with use_mesh=True over the 8-device virtual mesh."""
