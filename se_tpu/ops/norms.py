@@ -153,20 +153,21 @@ def offline_laplace_norm(x: jnp.ndarray, valid_frames=None) -> jnp.ndarray:
     Statistics accumulate in f32 regardless of x.dtype (bf16 compute
     path); the elementwise division runs in x.dtype.
 
-    ``valid_frames`` (traced scalar, optional): statistics over the first
+    ``valid_frames`` (traced, optional): statistics over the first
     ``valid_frames`` time frames only, with that count as the denominator
     — the pad-aware form that makes length-bucketed jit compiles exact on
     the valid prefix (enhance.py; frames at/after ``valid_frames`` are
     excluded from the sum AND the count, so trailing pad cannot rescale
     the utterance — reference semantics: tools_for_model.py:997-1011
-    normalise the exact-length utterance)."""
+    normalise the exact-length utterance).  Scalar (one count for the
+    whole batch) or per-sample [B] / [B, 1, 1, 1] (enhance.py --batch
+    groups different true lengths into one device batch)."""
     if valid_frames is None:
         mu = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
     else:
-        tmask = (
-            jnp.arange(x.shape[3]) < valid_frames
-        ).astype(jnp.float32)[None, None, None, :]
-        n = x.shape[1] * x.shape[2] * valid_frames.astype(jnp.float32)
+        vf = jnp.reshape(jnp.asarray(valid_frames), (-1, 1, 1, 1))
+        tmask = (jnp.arange(x.shape[3]) < vf).astype(jnp.float32)
+        n = x.shape[1] * x.shape[2] * vf.astype(jnp.float32)
         mu = (
             jnp.sum(
                 x.astype(jnp.float32) * tmask, axis=(1, 2, 3), keepdims=True
@@ -195,18 +196,17 @@ def offline_gaussian_norm(x: jnp.ndarray, valid_frames=None) -> jnp.ndarray:
     """Utterance zero-norm; std is unbiased like torch.std (f32 stats).
 
     ``valid_frames``: pad-aware masked statistics, like
-    ``offline_laplace_norm`` (the output at masked frames is garbage by
-    contract — callers crop it)."""
+    ``offline_laplace_norm`` (scalar or per-sample; the output at masked
+    frames is garbage by contract — callers crop it)."""
     xf = x.astype(jnp.float32)
     if valid_frames is None:
         mu = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
         n = x.shape[1] * x.shape[2] * x.shape[3]
         var = jnp.var(xf, axis=(1, 2, 3), keepdims=True) * n / max(n - 1, 1)
     else:
-        tmask = (
-            jnp.arange(x.shape[3]) < valid_frames
-        ).astype(jnp.float32)[None, None, None, :]
-        n = x.shape[1] * x.shape[2] * valid_frames.astype(jnp.float32)
+        vf = jnp.reshape(jnp.asarray(valid_frames), (-1, 1, 1, 1))
+        tmask = (jnp.arange(x.shape[3]) < vf).astype(jnp.float32)
+        n = x.shape[1] * x.shape[2] * vf.astype(jnp.float32)
         mu = jnp.sum(xf * tmask, axis=(1, 2, 3), keepdims=True) / n
         var = (
             jnp.sum(jnp.square(xf - mu) * tmask, axis=(1, 2, 3),
