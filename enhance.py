@@ -51,6 +51,15 @@ def main():
     )
     p.add_argument("--chunk-ms", type=int, default=100)
     p.add_argument(
+        "--batch", type=int, default=1,
+        help="group same-bucket files into device batches of this size "
+        "(jit path only; per-file outputs are bit-identical to --batch 1 "
+        "— every model processes batch rows independently, and FullSubNet "
+        "offline norms take per-sample valid_frames).  The last group of "
+        "a bucket is padded by repeating its final row so each bucket "
+        "compiles exactly one [batch, len] signature.",
+    )
+    p.add_argument(
         "--compute-dtype", default="float32",
         choices=["float32", "bfloat16"],
         help="activation dtype for the batch forward (bfloat16 is the "
@@ -251,6 +260,7 @@ def main():
         bucket = cfg.stft.fs
         jitted = jax.jit(enhance)
         exact = enhance  # un-jitted closure for the ultra-short fallback
+        margin = cfg.stft.fft_len // 2
         # Ultra-short files skip bucketing and run at their exact length
         # (bit-identical to eager; a handful of tiny-shape compiles at
         # most).  FullSubNet: its torch.stft-style framing reflect-pads
@@ -266,20 +276,27 @@ def main():
             else cfg.stft.win_len
         )
 
-        if offline_norm:
-            def enhance(wav):  # noqa: F811 — wraps the eager closure above
-                L = int(wav.shape[-1])
-                margin = cfg.stft.fft_len // 2
-                if L <= short_limit:
-                    return np.asarray(exact(wav))[:L]
+        def prepare(wav):
+            """[L] wav -> (bucket-padded buffer, valid frame count | None)."""
+            L = int(wav.shape[-1])
+            wav = np.asarray(wav, np.float32)
+            if offline_norm:
                 padded = -(-(L + margin) // bucket) * bucket
-                wav = np.asarray(wav)
                 # torch.stft's end reflection: x[L+k] = x[L-2-k]
                 tail = wav[max(L - 1 - margin, 0):max(L - 1, 0)][::-1]
                 buf = np.zeros(padded, wav.dtype)
                 buf[:L] = wav
                 buf[L:L + len(tail)] = tail
-                n_frames = 1 + L // cfg.stft.torch_hop
+                return buf, 1 + L // cfg.stft.torch_hop
+            pad = -(-L // bucket) * bucket - L
+            return np.pad(wav, (0, pad)), None
+
+        if offline_norm:
+            def enhance(wav):  # noqa: F811 — wraps the eager closure above
+                L = int(wav.shape[-1])
+                if L <= short_limit:
+                    return np.asarray(exact(wav))[:L]
+                buf, n_frames = prepare(wav)
                 y = jitted(jnp.asarray(buf), jnp.asarray(n_frames))
                 return np.asarray(y)[:L]
         else:
@@ -287,16 +304,77 @@ def main():
                 L = int(wav.shape[-1])
                 if L <= short_limit:
                     return np.asarray(exact(wav))[:L]
-                pad = -(-L // bucket) * bucket - L
-                y = jitted(jnp.pad(wav, (0, pad)))
+                y = jitted(jnp.asarray(prepare(wav)[0]))
                 return np.asarray(y)[:L]
 
-    for path in args.wavs:
-        wav, fs = read_wav(path, cfg.stft.fs)
-        y = enhance(jnp.asarray(wav.astype(np.float32)))
+        if args.batch > 1:
+            # batched core over [B, L] buffers; rows are independent for
+            # every model (convs/LSTMs batch per-sample; FullSubNet's
+            # offline norms take per-sample valid_frames), so each output
+            # row is bit-identical to its --batch 1 run of the same bucket
+            if cfg.model == "FullSubNet":
+                def core(wavs, valid_frames=None):
+                    s = cfg.stft
+                    noisy_complex = frame_stft(
+                        wavs, s.fft_len, s.torch_hop, s.win_len
+                    )
+                    mag = jnp.abs(noisy_complex)
+                    cRM = model.apply(
+                        variables, mag, train=False,
+                        valid_frames=valid_frames,
+                    )
+                    return fullsubnet_enhance(
+                        cfg, cRM, noisy_complex, wavs.shape[-1]
+                    )
+            else:
+                def core(wavs):
+                    return model.apply(variables, wavs, train=False)[-1]
+            jitted_batch = jax.jit(core)
+
+    def write_out(path, y):
         out_path = os.path.join(args.out_dir, os.path.basename(path))
         write_wav(out_path, np.asarray(y), cfg.stft.fs)
         print(f"enhanced {path} -> {out_path}")
+
+    if args.batch > 1 and (args.streaming or not use_jit):
+        raise SystemExit(
+            "--batch needs the jitted bucketed path (drop --streaming / "
+            "--no-jit)"
+        )
+
+    if args.batch > 1:
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for path in args.wavs:
+            wav, _fs = read_wav(path, cfg.stft.fs)
+            wav = wav.astype(np.float32)
+            L = len(wav)
+            if L <= short_limit:
+                # ultra-short files keep the exact-length eager contract
+                write_out(path, np.asarray(exact(jnp.asarray(wav)))[:L])
+                continue
+            buf, n_frames = prepare(wav)
+            groups[len(buf)].append((path, L, buf, n_frames))
+        for blen in sorted(groups):
+            entries = groups[blen]
+            for i in range(0, len(entries), args.batch):
+                chunk = entries[i : i + args.batch]
+                # repeat the last row so every group of a bucket runs the
+                # same [batch, blen] jit signature
+                rows = chunk + [chunk[-1]] * (args.batch - len(chunk))
+                bufs = jnp.asarray(np.stack([r[2] for r in rows]))
+                if offline_norm:
+                    nfs = jnp.asarray(np.array([r[3] for r in rows]))
+                    ys = np.asarray(jitted_batch(bufs, nfs))
+                else:
+                    ys = np.asarray(jitted_batch(bufs))
+                for (path, L, _, _), y in zip(chunk, ys):
+                    write_out(path, y[:L])
+    else:
+        for path in args.wavs:
+            wav, _fs = read_wav(path, cfg.stft.fs)
+            write_out(path, enhance(jnp.asarray(wav.astype(np.float32))))
 
 
 if __name__ == "__main__":

@@ -60,20 +60,25 @@ class FullSubNet(nn.Module):
 
         reference: models.py:626-672.
 
-        ``valid_frames`` (traced scalar, optional): the input is a
+        ``valid_frames`` (traced, optional): the input is a
         longer-than-utterance padded buffer whose first ``valid_frames``
         frames are real.  Frames at/after it are zeroed and excluded
         from the offline norms' statistics (count = valid_frames +
         look_ahead, matching the exact-length run where the only trailing
         frames are the look_ahead zeros) — so a causal sequence model
         produces the exact-length run's outputs on the valid prefix.
-        Output frames at/after ``valid_frames`` are garbage by contract;
-        callers crop them (enhance.py length bucketing).
+        Scalar (one count for the whole batch) or per-sample [B]
+        (enhance.py --batch groups different true lengths into one
+        device batch).  Output frames at/after a sample's count are
+        garbage by contract; callers crop them (enhance.py length
+        bucketing).
         """
         if noisy_mag.ndim == 3:
             noisy_mag = noisy_mag[:, None]
         if valid_frames is not None:
-            valid_frames = jnp.asarray(valid_frames)
+            valid_frames = jnp.reshape(
+                jnp.asarray(valid_frames), (-1, 1, 1, 1)
+            )
             noisy_mag = noisy_mag * (
                 jnp.arange(noisy_mag.shape[-1]) < valid_frames
             ).astype(noisy_mag.dtype)

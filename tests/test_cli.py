@@ -417,3 +417,141 @@ def test_enhance_cli_streaming_fullsubnet_rejects_offline_norm(tmp_path):
     )
     assert r.returncode != 0
     assert "cumulative" in r.stderr
+
+
+def test_enhance_cli_batch_matches_single_fullsubnet(tmp_path):
+    """``--batch`` groups same-bucket files into one device batch with
+    per-sample ``valid_frames`` for the offline norms.  Every row is an
+    independent sample, so each output must match the --batch 1 jit run
+    exactly (same bucketed buffers, same model math).  The layout
+    exercises all three batch-path branches: two files share a bucket
+    (one full group), a third sits alone in a larger bucket (last-group
+    row repetition), and an ultra-short file takes the exact-length
+    eager fallback."""
+    from se_tpu.data.synth import write_wav, read_wav
+    from se_tpu.config import Config
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import save_checkpoint
+
+    cfg = Config(model="FullSubNet", loss="MSE")
+    model, state = create_train_state(cfg)
+    ckpt_dir = tmp_path / "ck"
+    os.makedirs(ckpt_dir)
+    save_checkpoint(str(ckpt_dir), state, epoch=1)
+
+    rng = np.random.default_rng(7)
+    lengths = {
+        "a.wav": 20000, "b.wav": 24000, "c.wav": 36000, "d.wav": 100,
+    }
+    for name, L in lengths.items():
+        write_wav(
+            str(tmp_path / name), rng.standard_normal(L) * 0.05, 16000
+        )
+    files = [str(tmp_path / n) for n in lengths]
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = {}
+    for mode, flags in [("single", []), ("batch", ["--batch", "2"])]:
+        out_dir = tmp_path / mode
+        r = subprocess.run(
+            [
+                sys.executable, "enhance.py",
+                "--checkpoint", str(ckpt_dir / "chkpt_1"),
+                "--model", "FullSubNet", "--jit", *flags, *files,
+                "--out-dir", str(out_dir),
+            ],
+            cwd=ROOT, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        outs[mode] = {
+            name: read_wav(str(out_dir / name))[0] for name in lengths
+        }
+    for name, L in lengths.items():
+        got, want = outs["batch"][name], outs["single"][name]
+        assert len(got) == len(want) == L
+        # same bucketed buffers and per-sample statistics; only the
+        # [B, L]-vs-[1-file] XLA lowering differs (float accumulation
+        # noise, ~1e-7 in-process), so after the int16 wav round-trip
+        # samples may land one quantisation step apart: tolerance is
+        # two int16 LSBs, far below any semantic deviation
+        np.testing.assert_allclose(got, want, atol=2.0 / 32768)
+
+
+def test_enhance_cli_batch_matches_single_crn(tmp_path):
+    """Conv-STFT models under ``--batch``: plain zero-pad bucketing,
+    rows independent — outputs match the --batch 1 jit run."""
+    from se_tpu.data.synth import write_wav, read_wav
+    from se_tpu.config import Config
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import save_checkpoint
+
+    cfg = Config(model="CRN", loss="MSE", lstm="real")
+    model, state = create_train_state(cfg)
+    ckpt_dir = tmp_path / "ck"
+    os.makedirs(ckpt_dir)
+    save_checkpoint(str(ckpt_dir), state, epoch=1)
+
+    rng = np.random.default_rng(8)
+    lengths = {"a.wav": 20000, "b.wav": 24000, "c.wav": 9000}
+    for name, L in lengths.items():
+        write_wav(
+            str(tmp_path / name), rng.standard_normal(L) * 0.05, 16000
+        )
+    files = [str(tmp_path / n) for n in lengths]
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = {}
+    for mode, flags in [("single", []), ("batch", ["--batch", "2"])]:
+        out_dir = tmp_path / mode
+        r = subprocess.run(
+            [
+                sys.executable, "enhance.py",
+                "--checkpoint", str(ckpt_dir / "chkpt_1"),
+                "--model", "CRN", "--lstm", "real", "--jit",
+                *flags, *files, "--out-dir", str(out_dir),
+            ],
+            cwd=ROOT, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        outs[mode] = {
+            name: read_wav(str(out_dir / name))[0] for name in lengths
+        }
+    for name, L in lengths.items():
+        got, want = outs["batch"][name], outs["single"][name]
+        assert len(got) == len(want) == L
+        # two int16 LSBs: float lowering noise across the wav round-trip
+        np.testing.assert_allclose(got, want, atol=2.0 / 32768)
+
+
+def test_enhance_cli_batch_rejects_streaming(tmp_path):
+    """--batch is the offline bucketed path; combining it with
+    --streaming or --no-jit must fail loudly, not silently degrade."""
+    from se_tpu.config import Config
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import save_checkpoint
+    from se_tpu.data.synth import write_wav
+
+    cfg = Config(model="DCCRN")
+    model, state = create_train_state(cfg)
+    ckpt_dir = tmp_path / "ck"
+    os.makedirs(ckpt_dir)
+    save_checkpoint(str(ckpt_dir), state, epoch=1)
+    wav_in = tmp_path / "noisy.wav"
+    write_wav(str(wav_in), np.zeros(8000), 16000)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    for bad in (["--streaming"], ["--no-jit"]):
+        r = subprocess.run(
+            [
+                sys.executable, "enhance.py",
+                "--checkpoint", str(ckpt_dir / "chkpt_1"),
+                "--model", "DCCRN", "--batch", "2", *bad,
+                str(wav_in), "--out-dir", str(tmp_path / "out"),
+            ],
+            cwd=ROOT, env=env, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode != 0
+        assert "--batch" in r.stderr

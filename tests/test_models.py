@@ -162,3 +162,44 @@ def test_fullsubnet_valid_frames_masked_norm(norm):
         np.asarray(got)[:, :, :T_valid], np.asarray(want),
         atol=1e-5, rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize(
+    "norm", ["offline_laplace_norm", "offline_gaussian_norm"]
+)
+def test_fullsubnet_per_sample_valid_frames(norm):
+    """Per-sample ``valid_frames`` [B]: rows with DIFFERENT true lengths
+    batched into one padded buffer must each reproduce their own
+    exact-length run on their valid prefix (the enhance.py --batch
+    contract — heterogeneous-length files share one device batch)."""
+    from se_tpu.config import FullSubNetConfig
+
+    cfg = small_cfg(model="FullSubNet", loss="MSE")
+    cfg = cfg.replace(
+        fullsubnet=FullSubNetConfig(
+            fb_model_hidden_size=32, sb_model_hidden_size=24,
+            sb_num_neighbors=3, norm_type=norm,
+        )
+    )
+    model = build_model(cfg)
+    variables = init_model(cfg, model)
+
+    rng = np.random.default_rng(12)
+    lengths, T_pad = [17, 29], 40
+    padded = np.abs(
+        rng.standard_normal((2, 257, T_pad))
+    ).astype(np.float32)
+
+    got = model.apply(
+        variables, jnp.asarray(padded), train=False,
+        valid_frames=jnp.asarray(lengths),
+    )
+    for b, T_valid in enumerate(lengths):
+        want = model.apply(
+            variables, jnp.asarray(padded[b : b + 1, :, :T_valid]),
+            train=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got)[b, :, :T_valid], np.asarray(want)[0],
+            atol=1e-5, rtol=1e-5,
+        )
