@@ -53,6 +53,9 @@ def main():
             files.append(path)
 
         env = dict(os.environ)
+        # persistent compile cache (same one bench.py uses) so tunnel
+        # retries and the second leg skip recompilation
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
         results = {}
         for tag, flags in [("batch1", []), (f"batch{batch}", ["--batch", str(batch)])]:
             out_dir = os.path.join(tmp, f"out_{tag}")
