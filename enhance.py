@@ -53,10 +53,11 @@ def main():
     p.add_argument(
         "--batch", type=int, default=1,
         help="group same-bucket files into device batches of this size "
-        "(jit path only; per-file outputs are bit-identical to --batch 1 "
-        "— every model processes batch rows independently, and FullSubNet "
-        "offline norms take per-sample valid_frames).  The last group of "
-        "a bucket is padded by repeating its final row so each bucket "
+        "(jit path only; per-file outputs match --batch 1 up to "
+        "float-lowering noise — tested to 2 int16 LSBs; every model "
+        "processes batch rows independently, and FullSubNet offline "
+        "norms take per-sample valid_frames).  The last group of a "
+        "bucket is padded by repeating its final row so each bucket "
         "compiles exactly one [batch, len] signature.",
     )
     p.add_argument(
@@ -73,9 +74,24 @@ def main():
         "checkpoint accepts any norm).",
     )
     args = p.parse_args()
+    if args.batch < 1:
+        p.error(f"--batch must be >= 1 (got {args.batch})")
 
     import jax
     import jax.numpy as jnp
+
+    # flag-combination validity up front, before checkpoint restore or
+    # model construction does any work
+    use_jit = args.jit
+    if use_jit is None:
+        use_jit = jax.default_backend() != "cpu"
+    if args.batch > 1 and (args.streaming or not use_jit):
+        hint = (
+            "drop --streaming" if args.streaming
+            else ("drop --no-jit" if args.jit is False
+                  else "pass --jit (jit defaults off on the CPU backend)")
+        )
+        p.error(f"--batch needs the jitted bucketed path: {hint}")
 
     from se_tpu.config import Config, FullSubNetConfig
     from se_tpu.models import build_model
@@ -128,10 +144,6 @@ def main():
         def enhance(wav):
             out = model.apply(variables, wav[None], train=False)
             return out[-1][0]
-
-    use_jit = args.jit
-    if use_jit is None:
-        use_jit = jax.default_backend() != "cpu"
 
     if args.streaming and cfg.model == "FullSubNet":
         if not cfg.fullsubnet.norm_type.startswith("cumulative"):
@@ -311,7 +323,9 @@ def main():
             # batched core over [B, L] buffers; rows are independent for
             # every model (convs/LSTMs batch per-sample; FullSubNet's
             # offline norms take per-sample valid_frames), so each output
-            # row is bit-identical to its --batch 1 run of the same bucket
+            # row matches its --batch 1 run of the same bucket up to
+            # [B, L]-vs-[1, L] XLA float-lowering noise (~1e-7; tested
+            # to 2 int16 LSBs in tests/test_cli.py)
             if cfg.model == "FullSubNet":
                 def core(wavs, valid_frames=None):
                     s = cfg.stft
@@ -336,40 +350,46 @@ def main():
         write_wav(out_path, np.asarray(y), cfg.stft.fs)
         print(f"enhanced {path} -> {out_path}")
 
-    if args.batch > 1 and (args.streaming or not use_jit):
-        raise SystemExit(
-            "--batch needs the jitted bucketed path (drop --streaming / "
-            "--no-jit)"
-        )
-
     if args.batch > 1:
         from collections import defaultdict
 
-        groups = defaultdict(list)
+        # two passes so host memory stays O(batch), not O(corpus): the
+        # first pass only records each file's length (the decoded wav is
+        # dropped immediately); the second re-reads just one group's
+        # files right before stacking them into the device batch
+        def padded_len(L: int) -> int:
+            if offline_norm:
+                return -(-(L + margin) // bucket) * bucket
+            return -(-L // bucket) * bucket
+
+        groups = defaultdict(list)  # padded length -> [(path, L)]
         for path in args.wavs:
             wav, _fs = read_wav(path, cfg.stft.fs)
-            wav = wav.astype(np.float32)
             L = len(wav)
             if L <= short_limit:
                 # ultra-short files keep the exact-length eager contract
+                wav = wav.astype(np.float32)
                 write_out(path, np.asarray(exact(jnp.asarray(wav)))[:L])
                 continue
-            buf, n_frames = prepare(wav)
-            groups[len(buf)].append((path, L, buf, n_frames))
+            groups[padded_len(L)].append((path, L))
         for blen in sorted(groups):
             entries = groups[blen]
             for i in range(0, len(entries), args.batch):
                 chunk = entries[i : i + args.batch]
+                prepped = [
+                    prepare(read_wav(path, cfg.stft.fs)[0].astype(np.float32))
+                    for path, _ in chunk
+                ]
                 # repeat the last row so every group of a bucket runs the
                 # same [batch, blen] jit signature
-                rows = chunk + [chunk[-1]] * (args.batch - len(chunk))
-                bufs = jnp.asarray(np.stack([r[2] for r in rows]))
+                rows = prepped + [prepped[-1]] * (args.batch - len(chunk))
+                bufs = jnp.asarray(np.stack([r[0] for r in rows]))
                 if offline_norm:
-                    nfs = jnp.asarray(np.array([r[3] for r in rows]))
+                    nfs = jnp.asarray(np.array([r[1] for r in rows]))
                     ys = np.asarray(jitted_batch(bufs, nfs))
                 else:
                     ys = np.asarray(jitted_batch(bufs))
-                for (path, L, _, _), y in zip(chunk, ys):
+                for (path, L), y in zip(chunk, ys):
                     write_out(path, y[:L])
     else:
         for path in args.wavs:

@@ -555,3 +555,87 @@ def test_enhance_cli_batch_rejects_streaming(tmp_path):
         )
         assert r.returncode != 0
         assert "--batch" in r.stderr
+
+
+def test_enhance_cli_batch_bf16_parity(tmp_path):
+    """The advertised fast serving path (``--batch --compute-dtype
+    bfloat16``): batched bf16 outputs must match (a) the single-file
+    bf16 run (row independence holds at any compute dtype) and (b) the
+    f32 reference within a bounded bf16 drift (measured 5-6 int16 LSBs
+    on this model/corpus; pinned at 32 LSBs)."""
+    from se_tpu.data.synth import write_wav, read_wav
+    from se_tpu.config import Config
+    from se_tpu.train.state import create_train_state
+    from se_tpu.train.checkpoint import save_checkpoint
+
+    cfg = Config(model="DCCRN")
+    model, state = create_train_state(cfg)
+    ckpt_dir = tmp_path / "ck"
+    os.makedirs(ckpt_dir)
+    save_checkpoint(str(ckpt_dir), state, epoch=1)
+
+    rng = np.random.default_rng(7)
+    lengths = {"a.wav": 20000, "b.wav": 24000}
+    for name, L in lengths.items():
+        write_wav(
+            str(tmp_path / name), rng.standard_normal(L) * 0.05, 16000
+        )
+    files = [str(tmp_path / n) for n in lengths]
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = {}
+    for mode, flags in [
+        ("single_bf16", ["--compute-dtype", "bfloat16"]),
+        ("batch_bf16", ["--batch", "2", "--compute-dtype", "bfloat16"]),
+        ("single_f32", []),
+    ]:
+        out_dir = tmp_path / mode
+        r = subprocess.run(
+            [
+                sys.executable, "enhance.py",
+                "--checkpoint", str(ckpt_dir / "chkpt_1"),
+                "--model", "DCCRN", "--jit", *flags, *files,
+                "--out-dir", str(out_dir),
+            ],
+            cwd=ROOT, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        outs[mode] = {
+            name: read_wav(str(out_dir / name))[0] for name in lengths
+        }
+    for name, L in lengths.items():
+        got = outs["batch_bf16"][name]
+        assert len(got) == L
+        # same dtype, same bucketed buffers: only [B, L]-vs-[1, L]
+        # lowering noise separates them (2 LSBs, as the f32 tests pin)
+        np.testing.assert_allclose(
+            got, outs["single_bf16"][name], atol=2.0 / 32768
+        )
+        # bf16 activations vs the f32 reference: bounded dtype drift
+        np.testing.assert_allclose(
+            got, outs["single_f32"][name], atol=32.0 / 32768
+        )
+
+
+def test_enhance_cli_batch_rejects_invalid_count(tmp_path):
+    """--batch 0 / negative must be rejected at argparse time, not
+    silently fall back to the single-file path."""
+    from se_tpu.data.synth import write_wav
+
+    wav_in = tmp_path / "noisy.wav"
+    write_wav(str(wav_in), np.zeros(8000), 16000)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    for bad in ("0", "-3"):
+        r = subprocess.run(
+            [
+                sys.executable, "enhance.py",
+                "--checkpoint", "nonexistent",
+                "--model", "DCCRN", "--batch", bad,
+                str(wav_in), "--out-dir", str(tmp_path / "out"),
+            ],
+            cwd=ROOT, env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode != 0
+        assert "--batch must be >= 1" in r.stderr

@@ -10,6 +10,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 from se_tpu.config import Config, DccrnConfig, TrainConfig
 
@@ -68,6 +69,17 @@ def parse_args():
 
 def main():
     args = parse_args()
+    import jax
+
+    # persistent compile cache: on the tunnelled TPU platform a dropped
+    # connection kills the process, and the resume run should not pay
+    # the ~20-40 s compilations again (same setting as bench.py and
+    # tools/train_demo_tpu.py)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("SE_TPU_COMPILE_CACHE", "/tmp/jax_tpu_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg = Config(
         model=args.model,
         loss=args.loss,
