@@ -20,6 +20,7 @@ reference for the recurrence being fused: tools_for_model.py:141-181.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -28,6 +29,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INTERPRET = False  # force-interpret override (tests)
+
+# Storage dtype of the in-projection kernels' cell-state STASH (the
+# backward's gate-recomputation input; the carry itself always stays
+# f32 in VMEM).  bf16 halves the stash's HBM traffic — measured as a
+# FullSubNet train lever (docs/PERF.md); f32 is the default because the
+# end-to-end win is small and f32 keeps gradients bit-stable.
+# Opt-in: SE_TPU_LSTM_CS_STASH=bfloat16 (read at import).
+CS_STASH_DTYPE = (
+    jnp.bfloat16
+    if os.environ.get("SE_TPU_LSTM_CS_STASH") == "bfloat16"
+    else jnp.float32
+)
 
 
 def _interpret() -> bool:
@@ -71,7 +84,7 @@ def _fwd_kernel(xp_ref, whh_ref, h0_ref, c0_ref,
     hT_ref[:] = h
     cT_ref[:] = c
     ys_ref[0] = h.astype(ys_ref.dtype)
-    cs_ref[0] = c
+    cs_ref[0] = c.astype(cs_ref.dtype)
 
 
 def _bwd_kernel(xp_ref, ysp_ref, cs_ref, csp_ref, dys_ref,
@@ -319,7 +332,7 @@ def _fwd_inproj_kernel(x_ref, wih_ref, b_ref, whh_ref, h0_ref, c0_ref,
     hT_ref[:] = h
     cT_ref[:] = c
     ys_ref[0] = h.astype(ys_ref.dtype)
-    cs_ref[0] = c
+    cs_ref[0] = c.astype(cs_ref.dtype)
 
 
 def _bwd_inproj_kernel(x_ref, ysp_ref, cs_ref, csp_ref, dys_ref,
@@ -346,7 +359,7 @@ def _bwd_inproj_kernel(x_ref, ysp_ref, cs_ref, csp_ref, dys_ref,
 
     first = t == 0
     h_prev = jnp.where(first, h0_ref[:], ysp_ref[0].astype(jnp.float32))
-    c_prev = jnp.where(first, c0_ref[:], csp_ref[0])
+    c_prev = jnp.where(first, c0_ref[:], csp_ref[0].astype(jnp.float32))
 
     x = x_ref[0].astype(jnp.float32)
     gates = jnp.stack(
@@ -361,7 +374,7 @@ def _bwd_inproj_kernel(x_ref, ysp_ref, cs_ref, csp_ref, dys_ref,
     f = _sigmoid(gates[..., 1 * H : 2 * H])
     g = jnp.tanh(gates[..., 2 * H : 3 * H])
     o = _sigmoid(gates[..., 3 * H : 4 * H])
-    c_t = cs_ref[0]
+    c_t = cs_ref[0].astype(jnp.float32)
     tanh_c = jnp.tanh(c_t)
 
     dh = dys_ref[0].astype(jnp.float32) + dh0_ref[:]
@@ -416,7 +429,9 @@ def _bwd_inproj_kernel(x_ref, ysp_ref, cs_ref, csp_ref, dys_ref,
     dc0_ref[:] = dc * f
 
 
-def _inproj_call(x, w_ih_t, bias, w_hh_t, h0, c0, need_cs=True):
+def _inproj_call(x, w_ih_t, bias, w_hh_t, h0, c0, need_cs=True,
+                 cs_dtype=None):
+    cs_dtype = cs_dtype or CS_STASH_DTYPE
     T, L, Bb, In = x.shape
     H = w_hh_t.shape[1]
     fourH = 4 * H
@@ -455,7 +470,7 @@ def _inproj_call(x, w_ih_t, bias, w_hh_t, h0, c0, need_cs=True):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, L, Bb, H), x.dtype),
-            jax.ShapeDtypeStruct((Tc, L, Bb, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tc, L, Bb, H), cs_dtype),
             jax.ShapeDtypeStruct((L, Bb, H), jnp.float32),
             jax.ShapeDtypeStruct((L, Bb, H), jnp.float32),
         ],
