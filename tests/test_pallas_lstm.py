@@ -281,3 +281,39 @@ def test_train_step_equal_with_and_without_pallas():
         _, mt1 = make_train_step(cfg1, m1)(s1, noisy, clean, jax.random.PRNGKey(0))
         np.testing.assert_allclose(float(mt0["loss"]), float(mt1["loss"]),
                                    rtol=1e-6), model_name
+
+
+def test_inproj_bf16_cs_stash_grads_close(monkeypatch):
+    """SE_TPU_LSTM_CS_STASH=bfloat16 stores the backward's cell-state
+    stash in bf16 (an HBM-traffic lever, docs/PERF.md); the carry and
+    gate math stay f32, so gradients must stay within bf16-rounding
+    distance of the f32-stash gradients (measured ~7e-4 relative)."""
+    import jax
+    import jax.numpy as jnp
+
+    from se_tpu.ops import pallas_lstm
+
+    T, L, Bb, In, H = 10, 1, 8, 8, 16
+    r = np.random.default_rng(3)
+    args = [
+        jnp.asarray(a, jnp.float32)
+        for a in (
+            r.standard_normal((T, L, Bb, In)) * 0.5,
+            r.standard_normal((L, In, 4 * H)) * 0.3,
+            r.standard_normal((L, 4 * H)) * 0.1,
+            r.standard_normal((L, H, 4 * H)) * 0.3,
+            np.zeros((L, Bb, H)),
+            np.zeros((L, Bb, H)),
+        )
+    ]
+
+    def loss(*a):
+        ys, (hT, cT) = pallas_lstm.fused_lstm_scan_inproj(*a)
+        return jnp.sum(ys**2) + jnp.sum(hT**2)
+
+    g32 = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    monkeypatch.setattr(pallas_lstm, "CS_STASH_DTYPE", jnp.bfloat16)
+    g16 = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g32, g16):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 5e-3
