@@ -639,3 +639,22 @@ def test_enhance_cli_batch_rejects_invalid_count(tmp_path):
         )
         assert r.returncode != 0
         assert "--batch must be >= 1" in r.stderr
+
+
+def test_train_interface_sets_persistent_compile_cache(monkeypatch, tmp_path):
+    """Tunnel hardening: train_interface.main() must enable the
+    persistent compile cache so a resume after a dropped-connection kill
+    skips recompilation (docs/PERF.md round-5 findings)."""
+    import jax
+
+    import train_interface
+
+    monkeypatch.setenv("SE_TPU_COMPILE_CACHE", str(tmp_path / "cc"))
+    monkeypatch.setattr("se_tpu.train.loop.train", lambda cfg, **kw: None)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train_interface.py", "--train-data", "t.npy",
+         "--valid-data", "v.npy"],
+    )
+    train_interface.main()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
