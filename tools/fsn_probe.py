@@ -92,7 +92,17 @@ noisy = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
 clean = jnp.asarray((rng.standard_normal((B, L)) * 0.1).astype(np.float32))
 if mode == "train":
     step = make_train_step(cfg, model)
-    step_ms = timeit(lambda: step(state, noisy, clean, key)[1]["loss"]) * 1e3
+    # the jitted step DONATES the state (steps.py donate_argnums=(0,)):
+    # the timing loop must carry it, or every call after the first
+    # enqueues a deleted buffer (surfaces through the axon tunnel as an
+    # opaque INVALID_ARGUMENT on the next fetch)
+    carry = {"s": state}
+
+    def _train_once():
+        carry["s"], metrics = step(carry["s"], noisy, clean, key)
+        return metrics["loss"]
+
+    step_ms = timeit(_train_once) * 1e3
 else:
     estep = make_eval_step(cfg, model)
     step_ms = timeit(lambda: estep(state, noisy, clean)[0]["loss"]) * 1e3
