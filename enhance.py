@@ -226,15 +226,27 @@ def main():
         chunk_step = (
             jax.jit(stream.apply) if use_jit else stream.apply
         )
+        from functools import partial as _partial
+
+        flush_step = _partial(stream.apply, method="flush_stream")
+        if use_jit:
+            flush_step = jax.jit(flush_step)
         n_skip = stream.bind(variables).n_stages
 
         def enhance(wav):  # noqa: F811 — streaming replaces the closures
             # chunk-streaming end to end: model frames -> OLA synthesis,
             # emitting finalized samples per chunk (the clamp is
-            # pointwise, so per-chunk clip == the batch path's clip)
+            # pointwise, so per-chunk clip == the batch path's clip).
+            # End-of-stream exactness (round 5): feed exactly the batch
+            # conv-STFT's frame set — the wav plus its win-hop zero
+            # right pad (a short final partial chunk, one extra compile
+            # per distinct remainder) — then flush_stream emits the
+            # decoder cascade's final n_stages frames, which zero-feed
+            # cannot produce; the result equals the batch forward over
+            # the WHOLE wav (tests/test_streaming.py, test_cli.py).
             L = wav.shape[-1]
-            pad = -(-L // chunk) * chunk - L
-            wavp = jnp.pad(wav, (0, pad))[None]
+            trim = kernels.win_len - kernels.hop
+            wavp = jnp.pad(wav, (0, trim))[None]
             syn = StreamingConvIstft(kernels)
             state, sstate, outs = None, None, []
             skip = n_skip  # algorithmic-latency frames: drop as they arrive
@@ -246,8 +258,11 @@ def main():
                 skip -= drop
                 y, sstate = syn.push(spec[..., drop:], sstate)
                 outs.append(jnp.clip(y, -1.0, 1.0))
+            tail = flush_step(variables, state)
+            drop = min(skip, tail.shape[-1])
+            y, sstate = syn.push(tail[..., drop:], sstate)
+            outs.append(jnp.clip(y, -1.0, 1.0))
             outs.append(jnp.clip(syn.flush(sstate), -1.0, 1.0))
-            trim = kernels.win_len - kernels.hop
             y = np.asarray(jnp.concatenate(outs, axis=-1))[0][trim:-trim]
             y = y[:L]
             return y if len(y) == L else np.pad(y, (0, L - len(y)))

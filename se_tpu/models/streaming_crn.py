@@ -8,7 +8,9 @@ delay queues, a spectrum queue for magnitude masking with the noisy phase,
 and a sample tail for stateful STFT framing.
 
 Shares the parameter tree of ``CRN``; checkpoints stream unchanged.
-Interior frames match the batch forward exactly (tests/test_streaming.py).
+Interior frames match the batch forward exactly, and ``flush_stream``
+emits the final ``n_stages`` frames at end of stream — whole-utterance
+exactness vs the batch forward (tests/test_streaming.py, round 5).
 """
 
 from __future__ import annotations
@@ -157,17 +159,7 @@ class StreamingCRN(CRN):
         cat = jnp.concatenate([state["spec_buf"], specs], axis=-1)
         old_spec = cat[..., 1 : T + 1]
         spec_buf = cat[..., -(n_stage + 1):]
-        o_real = old_spec[:, :dim]
-        o_imag = old_spec[:, dim:]
-        mags = jnp.sqrt(o_real**2 + o_imag**2)
-        phase = jnp.arctan2(o_imag, o_real)
-
-        out_mag = jnp.pad(cur[:, 0], ((0, 0), (1, 0), (0, 0)))
-        mask_mags = jnp.tanh(out_mag)
-        est_mags = mask_mags * mags
-        out_real = est_mags * jnp.cos(phase)
-        out_imag = est_mags * jnp.sin(phase)
-        out_specs = jnp.concatenate([out_real, out_imag], axis=1)
+        out_specs = self._apply_mask(cur, old_spec)
 
         new_state = {
             "enc_prev": enc_prev,
@@ -178,6 +170,48 @@ class StreamingCRN(CRN):
             "tail": tail,
         }
         return out_specs, new_state
+
+    def _apply_mask(self, cur, old_spec):
+        """Tanh-magnitude mask with the noisy phase (models/crn.py;
+        reference models.py:521-524) over ``old_spec`` columns."""
+        dim = self.fft_len // 2 + 1
+        o_real = old_spec[:, :dim]
+        o_imag = old_spec[:, dim:]
+        mags = jnp.sqrt(o_real**2 + o_imag**2)
+        phase = jnp.arctan2(o_imag, o_real)
+        out_mag = jnp.pad(cur[:, 0], ((0, 0), (1, 0), (0, 0)))
+        est_mags = jnp.tanh(out_mag) * mags
+        out_real = est_mags * jnp.cos(phase)
+        out_imag = est_mags * jnp.sin(phase)
+        return jnp.concatenate([out_real, out_imag], axis=1)
+
+    def flush_stream(self, state: dict) -> jnp.ndarray:
+        """Exact end-of-stream decoder flush — the real-valued mirror of
+        ``StreamingDCCRN.flush_stream`` (see its docstring for the
+        cascade derivation).  Returns [B, fft_len+2, n_stages] frames:
+        the batch forward's final ``n_stages`` output frames."""
+        c = self.cfg
+        n_stage = self.n_stages
+        dec_prev = state["dec_prev"]
+        skip_buf = state["skip_buf"]
+
+        cols = None
+        for i in range(n_stage):
+            if i == 0:
+                inp = dec_prev[0]
+            else:
+                d_in = (
+                    jnp.concatenate([cols, skip_buf[i][..., :i]], axis=1)
+                    if c.skip_type
+                    else cols
+                )
+                inp = jnp.concatenate([dec_prev[i], d_in], axis=-1)
+            y = self.decoder[i](inp)[..., 1:]
+            if self.decoder_bn[i] is not None:
+                y = self.decoder_act[i](self.decoder_bn[i](y, train=False))
+            cols = y
+
+        return self._apply_mask(cols, state["spec_buf"][..., 1:])
 
     def synthesize(self, out_specs: jnp.ndarray) -> jnp.ndarray:
         wav = conv_istft(out_specs, self.stft_kernels)[:, 0]

@@ -300,7 +300,9 @@ def test_enhance_cli_fullsubnet_jit_matches_eager(tmp_path):
 
 def test_enhance_cli_streaming_matches_batch_interior(tmp_path):
     """enhance.py --streaming (chunked carried-state CRN) must agree with
-    the batch path away from the warm-up/synthesis edges."""
+    the batch path over the WHOLE wav — including the final frames,
+    which the round-5 ``flush_stream`` end-of-stream decoder cascade
+    makes exact (previously the tail was excluded)."""
     from se_tpu.data.synth import write_wav, read_wav
     from se_tpu.config import Config
     from se_tpu.train.state import create_train_state
@@ -333,12 +335,9 @@ def test_enhance_cli_streaming_matches_batch_interior(tmp_path):
         assert r.returncode == 0, r.stderr[-3000:]
         outs[mode], _ = read_wav(str(out_dir / "noisy.wav"))
     assert len(outs["stream"]) == len(outs["batch"]) == 16000
-    # latency-compensated stream is sample-exact with the batch forward
-    # (int16 WAV quantisation aside) everywhere but the zero-padded tail
-    hi = 15000
-    np.testing.assert_allclose(
-        outs["stream"][:hi], outs["batch"][:hi], atol=2e-4
-    )
+    # latency-compensated stream + end-of-stream flush is sample-exact
+    # with the batch forward (int16 WAV quantisation aside) EVERYWHERE
+    np.testing.assert_allclose(outs["stream"], outs["batch"], atol=2e-4)
 
 
 def test_enhance_cli_streaming_fullsubnet_exact(tmp_path):

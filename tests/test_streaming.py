@@ -156,3 +156,69 @@ def test_streaming_crn_matches_batch_interior():
     got = stream_spec[..., n:T]
     want = batch_spec[..., : T - n]
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "model_name,mode,lstm",
+    [
+        ("DCCRN", "E", "complex"),
+        ("DCCRN", "C", "complex"),
+        ("DCCRN", "R", "complex"),
+        ("DCCRN", "E", "real"),
+        ("CRN", "E", "real"),
+    ],
+)
+def test_streaming_flush_exact_full_sequence(model_name, mode, lstm):
+    """End-of-stream exactness: pushes over [wav || win-hop zero right
+    pad] plus ``flush_stream`` reproduce the batch forward's WHOLE
+    spectrum sequence, including the final n_stages frames (the batch
+    decoder's sequence-end tail, which zero-feeding cannot produce —
+    round-5 fix; previously only the interior matched)."""
+    from se_tpu.models.streaming_crn import StreamingCRN
+
+    cfg = small_cfg(model=model_name, masking_mode=mode, lstm=lstm)
+    batch_model = build_model(cfg)
+    variables = init_model(cfg, batch_model, batch=2, seconds=1)
+    stream_model = (
+        StreamingDCCRN(cfg) if model_name == "DCCRN" else StreamingCRN(cfg)
+    )
+
+    noisy, _ = example_batch(cfg, batch=2, seconds=1)
+    if model_name == "DCCRN":
+        out_r, out_i, batch_wav = batch_model.apply(
+            variables, noisy, train=False
+        )
+        batch_spec = np.concatenate(
+            [np.asarray(out_r), np.asarray(out_i)], axis=1
+        )
+    else:
+        # CRN returns (est_mags, target_mags, wav) — compare waveforms
+        _, _, batch_wav = batch_model.apply(variables, noisy, train=False)
+        batch_spec = None
+
+    bound = stream_model.bind(variables)
+    n = bound.n_stages
+    s = cfg.stft
+    pad = np.zeros((2, s.win_len - s.win_inc), np.float32)
+    # two wav chunks + the analysis right pad, state carried throughout
+    mid = noisy.shape[-1] // 2 // s.win_inc * s.win_inc
+    pieces = [noisy[:, :mid], noisy[:, mid:], jnp.asarray(pad)]
+    state, specs = None, []
+    for p in pieces:
+        out, state = stream_model.apply(variables, p, state)
+        specs.append(np.asarray(out))
+    tail = stream_model.apply(variables, state, method="flush_stream")
+    specs.append(np.asarray(tail))
+    got = np.concatenate(specs, axis=-1)[..., n:]  # drop warm-up frames
+
+    if batch_spec is not None:
+        assert got.shape == batch_spec.shape, (got.shape, batch_spec.shape)
+        np.testing.assert_allclose(got, batch_spec, atol=2e-4)
+    # waveform-level: synthesize the full streamed sequence and compare
+    # to the batch wav over its ENTIRE length — no excluded tail
+    wav = np.asarray(
+        stream_model.apply(variables, jnp.asarray(got), method="synthesize")
+    )  # conv_istft already trims the win-hop edges
+    np.testing.assert_allclose(
+        wav, np.asarray(batch_wav), atol=2e-4
+    )
