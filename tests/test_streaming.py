@@ -166,6 +166,8 @@ def test_streaming_crn_matches_batch_interior():
         ("DCCRN", "R", "complex"),
         ("DCCRN", "E", "real"),
         ("CRN", "E", "real"),
+        ("DCCRN-noskip", "E", "complex"),
+        ("CRN-noskip", "E", "real"),
     ],
 )
 def test_streaming_flush_exact_full_sequence(model_name, mode, lstm):
@@ -176,7 +178,11 @@ def test_streaming_flush_exact_full_sequence(model_name, mode, lstm):
     round-5 fix; previously only the interior matched)."""
     from se_tpu.models.streaming_crn import StreamingCRN
 
-    cfg = small_cfg(model=model_name, masking_mode=mode, lstm=lstm)
+    model_name, _, noskip = model_name.partition("-")
+    cfg = small_cfg(
+        model=model_name, masking_mode=mode, lstm=lstm,
+        skip_type=not noskip,
+    )
     batch_model = build_model(cfg)
     variables = init_model(cfg, batch_model, batch=2, seconds=1)
     stream_model = (
