@@ -202,7 +202,11 @@ def main():
             # zero frames so the masks for the final frames are emitted;
             # feed the same zero frames — the result is exact vs the
             # batch path under the cumulative norms.
-            feed(jnp.zeros((1, s.num_freqs, la), dtype=jnp.complex64))
+            # host-built zeros: an EAGER complex64 broadcast_in_dim fails
+            # to compile on the axon TPU backend (UNIMPLEMENTED), while a
+            # host transfer of the same constant — and complex math
+            # inside jit — work fine
+            feed(jnp.asarray(np.zeros((1, s.num_freqs, la), np.complex64)))
             outs.append(syn.flush(st["s"]))
             y = np.asarray(jnp.concatenate(outs, axis=-1))[0]
             y = y[s.fft_len // 2 : s.fft_len // 2 + L]

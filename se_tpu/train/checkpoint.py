@@ -51,10 +51,25 @@ def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:
         "epoch": np.asarray(0),
     }
     restored = ckptr.restore(os.path.abspath(path), target)
+
+    # Re-place restored leaves with the template's shardings: orbax hands
+    # back host numpy arrays, and (a) under a mesh the carried state must
+    # keep its NamedSharding placement or the first step pays a full
+    # recompile (docs/PERF.md "mesh overhead" pitfall), (b) the axon TPU
+    # backend fails with an opaque UNIMPLEMENTED when some jitted
+    # computations (e.g. the FullSubNet streaming step) receive
+    # host-numpy parameter leaves (round-5 finding).
+    def _place(template, value):
+        if isinstance(template, jax.Array):
+            return jax.device_put(value, template.sharding)
+        return value
+
     new_state = state.replace(
-        params=restored["params"],
-        opt_state=restored["opt_state"],
-        batch_stats=restored["batch_stats"],
+        params=jax.tree.map(_place, state.params, restored["params"]),
+        opt_state=jax.tree.map(_place, state.opt_state, restored["opt_state"]),
+        batch_stats=jax.tree.map(
+            _place, state.batch_stats, restored["batch_stats"]
+        ),
         step=int(restored["step"]),
     )
     return new_state, int(restored["epoch"])

@@ -60,6 +60,13 @@ def parse_args():
         "TPU execution)",
     )
     p.add_argument(
+        "--fsn-norm", default=None,
+        help="FullSubNet norm_type override (reference config.py:80 "
+        "norm_type; e.g. cumulative_laplace_norm to train a model whose "
+        "statistics are causal — the norm to pick when the checkpoint "
+        "will be served with enhance.py --streaming)",
+    )
+    p.add_argument(
         "--adam-mu-dtype", default="float32",
         choices=["float32", "bfloat16"],
         help="storage dtype of Adam's first moment",
@@ -80,9 +87,17 @@ def main():
         os.environ.get("SE_TPU_COMPILE_CACHE", "/tmp/jax_tpu_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from se_tpu.config import FullSubNetConfig
+
+    fsn_kw = (
+        {"fullsubnet": FullSubNetConfig(norm_type=args.fsn_norm)}
+        if args.fsn_norm
+        else {}
+    )
     cfg = Config(
         model=args.model,
         loss=args.loss,
+        **fsn_kw,
         perceptual=False if args.perceptual == "False" else args.perceptual,
         lstm=args.lstm,
         sequence_model=args.sequence_model,
