@@ -197,16 +197,21 @@ def main():
             for lo in range(0, wav.shape[-1], chunk):
                 frames, st["a"] = ana.push(wav[None, lo : lo + chunk], st["a"])
                 feed(frames)
-            feed(ana.flush(st["a"]))
             # the batch forward right-pads the magnitudes with look_ahead
             # zero frames so the masks for the final frames are emitted;
-            # feed the same zero frames — the result is exact vs the
-            # batch path under the cumulative norms.
-            # host-built zeros: an EAGER complex64 broadcast_in_dim fails
-            # to compile on the axon TPU backend (UNIMPLEMENTED), while a
-            # host transfer of the same constant — and complex math
-            # inside jit — work fine
-            feed(jnp.asarray(np.zeros((1, s.num_freqs, la), np.complex64)))
+            # feed the same zero frames with the analysis flush in ONE
+            # call (chunking is exact, so this equals two feeds, with one
+            # fewer tiny-shape compile).  Host-built zeros: an EAGER
+            # complex64 broadcast_in_dim fails to compile on the axon TPU
+            # backend (UNIMPLEMENTED), while a host transfer of the same
+            # constant — and complex math inside jit — work fine.
+            feed(jnp.concatenate(
+                [
+                    ana.flush(st["a"]),
+                    jnp.asarray(np.zeros((1, s.num_freqs, la), np.complex64)),
+                ],
+                axis=-1,
+            ))
             outs.append(syn.flush(st["s"]))
             y = np.asarray(jnp.concatenate(outs, axis=-1))[0]
             y = y[s.fft_len // 2 : s.fft_len // 2 + L]
