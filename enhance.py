@@ -168,9 +168,16 @@ def main():
             model_step = jax.jit(model_step)
 
         def enhance(wav):
-            # every stage is chunk-streaming with carried state: analysis
-            # framing -> enhance_chunk -> OLA synthesis; only the emitted
-            # samples accumulate on the host.
+            # The MODEL runs chunk-streaming with carried state (the
+            # expensive part: per-chunk enhance_chunk, one jit signature);
+            # enhanced mask frames are collected on the HOST and the OLA
+            # synthesis runs once per file.  Host-side frame handling is
+            # deliberate: the axon TPU backend intermittently rejects
+            # eager complex64 ops with tiny minor dims (UNIMPLEMENTED) —
+            # the end-of-stream flush/look-ahead blocks are exactly that
+            # shape — while host transfers and complex math inside jit
+            # are reliable.  Live serving keeps the fully-incremental
+            # push/flush API (StreamingIstft; tests/test_streaming_*).
             L = wav.shape[-1]
             # the analysis needs its first chunk to exceed the reflect pad
             # (fft_len//2 samples); right-pad very short/empty wavs with
@@ -181,39 +188,46 @@ def main():
                 wav = jnp.pad(wav, (0, min_len - L))
             ana = StreamingStft(s.fft_len, hop, s.win_len)
             syn = StreamingIstft(s.fft_len, hop, s.win_len)
-            st = {"a": None, "m": None, "s": None, "skip": la}
-            outs = []
+            st = {"a": None, "m": None, "skip": la}
+            collected = []
 
-            def feed(frames):
+            def feed(frames, keep=None):
+                """Run a frame block; collect output columns [drop:keep]
+                on the host (``keep`` discards trailing padding frames'
+                outputs)."""
                 if frames.shape[-1]:
                     e, st["m"] = model_step(variables, frames, st["m"])
                     # drop the stream's look_ahead warm-up outputs (the
                     # batch forward crops these, se_tpu/models/fullsubnet.py)
-                    drop = min(st["skip"], e.shape[-1])
+                    n_keep = e.shape[-1] if keep is None else keep
+                    drop = min(st["skip"], n_keep)
                     st["skip"] -= drop
-                    y, st["s"] = syn.push(e[..., drop:], st["s"])
-                    outs.append(y)
+                    collected.append(np.asarray(e)[..., drop:n_keep])
 
+            chunk_T = chunk // hop
             for lo in range(0, wav.shape[-1], chunk):
                 frames, st["a"] = ana.push(wav[None, lo : lo + chunk], st["a"])
                 feed(frames)
-            # the batch forward right-pads the magnitudes with look_ahead
-            # zero frames so the masks for the final frames are emitted;
-            # feed the same zero frames with the analysis flush in ONE
-            # call (chunking is exact, so this equals two feeds, with one
-            # fewer tiny-shape compile).  Host-built zeros: an EAGER
-            # complex64 broadcast_in_dim fails to compile on the axon TPU
-            # backend (UNIMPLEMENTED), while a host transfer of the same
-            # constant — and complex math inside jit — work fine.
-            feed(jnp.concatenate(
-                [
-                    ana.flush(st["a"]),
-                    jnp.asarray(np.zeros((1, s.num_freqs, la), np.complex64)),
-                ],
+            # End of stream: the batch forward right-pads the magnitudes
+            # with look_ahead zero frames so the masks for the final
+            # frames are emitted; feed them with the analysis flush in ONE
+            # block, zero-padded up to a regular chunk's frame count —
+            # the model is causal (cumulative norms, unidirectional RNNs),
+            # so the padding frames cannot influence the kept outputs and
+            # the block reuses the chunk jit signature.
+            tail = np.asarray(ana.flush(st["a"]))
+            keep = tail.shape[-1] + la
+            pad_T = max(chunk_T, keep) - tail.shape[-1]
+            tail = np.concatenate(
+                [tail, np.zeros((1, s.num_freqs, pad_T), np.complex64)],
                 axis=-1,
-            ))
-            outs.append(syn.flush(st["s"]))
-            y = np.asarray(jnp.concatenate(outs, axis=-1))[0]
+            )
+            feed(jnp.asarray(tail), keep=keep)
+            all_frames = jnp.asarray(np.concatenate(collected, axis=-1))
+            y, sstate = syn.push(all_frames, None)
+            y = np.concatenate(
+                [np.asarray(y), np.asarray(syn.flush(sstate))], axis=-1
+            )[0]
             y = y[s.fft_len // 2 : s.fft_len // 2 + L]
             return y if len(y) == L else np.pad(y, (0, L - len(y)))
 
